@@ -1,0 +1,154 @@
+"""Unified typed configuration tree.
+
+The reference scatters knobs across argparse flags, dataclasses, and env vars
+(reference: rag_uq/router.py:34-41, data/preprocessing/prepare_corpus.py:28-34,
+.env.example). We keep the same knob names and defaults in one typed tree with
+CLI overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+
+@dataclass
+class RouterConfig:
+    """Router MLP architecture (reference: rag_uq/router.py:34-41)."""
+
+    hidden_dim: int = 64
+    dropout: float = 0.1
+    temperature: float = 1.0  # for ApproxNDCG
+    num_layers: int = 2
+    use_batch_norm: bool = False
+    ema_momentum: float = 0.1  # running score-stats EMA (reference router.py:123)
+
+
+@dataclass
+class BM25Config:
+    """Okapi BM25 parameters (reference: streaming_index.py:100-105)."""
+
+    k1: float = 1.5
+    b: float = 0.75
+    # rank_bm25.BM25Okapi floors non-positive idf at epsilon * average_idf.
+    idf_epsilon: float = 0.25
+    # Device index capacities (static shapes; grown by watermark doubling).
+    initial_doc_capacity: int = 4096
+    initial_postings_capacity: int = 262_144
+    initial_vocab_capacity: int = 65_536
+    max_query_terms: int = 32
+
+
+@dataclass
+class DenseIndexConfig:
+    """Dense index over an HBM-resident embedding matrix."""
+
+    embedding_dim: int = 768  # nomic-embed-text dim (reference wiki)
+    initial_capacity: int = 4096
+    dtype: str = "bfloat16"  # storage dtype for the corpus matrix
+    score_block: int = 8192  # corpus rows scored per streaming chunk
+    normalize: bool = True  # store L2-normalized rows => cosine via matmul
+
+
+@dataclass
+class EmbedderConfig:
+    """In-framework embedding configuration."""
+
+    kind: str = "ngram_hash"  # "ngram_hash" | "sha256" | "encoder"
+    dim: int = 768
+    seed: int = 0
+    vocab_hash_buckets: int = 1 << 18
+    # encoder settings (flax transformer), used when kind == "encoder"
+    encoder_layers: int = 4
+    encoder_heads: int = 12
+    encoder_mlp_dim: int = 1536
+    max_seq_len: int = 128
+
+
+@dataclass
+class UQConfig:
+    """Uncertainty quantification (reference: confidence.py:101-114,302-307)."""
+
+    n_samples: int = 10
+    temperature_range: Tuple[float, float] = (0.5, 1.2)
+    top_p_range: Tuple[float, float] = (0.8, 0.95)
+    max_tokens: int = 100
+    alpha: float = 0.1  # conformal miscoverage
+    calibration_db_path: str = "data/calibration_scores.db"
+
+
+@dataclass
+class EvalConfig:
+    """Evaluation protocol (reference: eval_protocol.py:149-166)."""
+
+    output_dir: str = "results"
+    n_bins: int = 10
+    bootstrap_samples: int = 1000
+
+
+@dataclass
+class ChunkConfig:
+    """Corpus chunking (reference: prepare_corpus.py:28-34)."""
+
+    chunk_size: int = 200  # words
+    overlap: int = 50  # words
+    min_chunk_size: int = 50  # words
+    max_chunk_chars: int = 2000
+
+
+@dataclass
+class TrainConfig:
+    """Router training loop (reference: router.py:346-365,419-426)."""
+
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-4
+    num_epochs: int = 50
+    batch_size: int = 16
+    early_stopping_patience: int = 10
+    grad_clip_norm: float = 1.0
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    checkpoint_dir: str = "models/router"
+    seed: int = 0
+
+
+@dataclass
+class MeshConfig:
+    """Device mesh layout for multi-chip corpus sharding."""
+
+    corpus_axis: str = "corpus"
+    data_axis: str = "data"
+    num_corpus_shards: int = 1
+    num_data_shards: int = 1
+
+
+@dataclass
+class Config:
+    """Root config."""
+
+    router: RouterConfig = field(default_factory=RouterConfig)
+    bm25: BM25Config = field(default_factory=BM25Config)
+    dense: DenseIndexConfig = field(default_factory=DenseIndexConfig)
+    embedder: EmbedderConfig = field(default_factory=EmbedderConfig)
+    uq: UQConfig = field(default_factory=UQConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    chunk: ChunkConfig = field(default_factory=ChunkConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def override(self, dotted: Dict[str, Any]) -> "Config":
+        """Return a copy with `{"section.key": value}` overrides applied."""
+        cfg = dataclasses.replace(self)
+        for path, value in dotted.items():
+            section, _, key = path.partition(".")
+            if not key:
+                raise KeyError(f"Override path must be 'section.key', got {path!r}")
+            sub = getattr(cfg, section)
+            if not hasattr(sub, key):
+                raise KeyError(f"Unknown config key {path!r}")
+            setattr(cfg, section, dataclasses.replace(sub, **{key: value}))
+        return cfg

@@ -1,0 +1,332 @@
+"""BM25 sparse index: incremental host build, on-device CSR scoring.
+
+Capability parity with the reference's `BM25Index`
+(rag_uq/streaming_index.py:92-225) — same tokenization (lowercase whitespace),
+same Okapi parameters (k1=1.5, b=0.75), same positive-scores-only search
+contract, same incremental `add_documents` semantics and persistence — but
+without the reference's O(N^2) full-rebuild-per-batch pathology (:141-142):
+documents append into flat numpy posting buffers in O(batch), and the device
+CSR (with precomputed per-posting impacts) is rebuilt lazily, only when a
+search happens after new adds.
+
+Scoring runs on device via rag_uq_tpu.ops.bm25. The Okapi idf follows
+rank_bm25.BM25Okapi: idf = ln((N-df+0.5)/(df+0.5)) with strictly-negative
+values floored at epsilon * mean(idf), epsilon=0.25.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rag_uq_tpu.core.config import BM25Config
+from rag_uq_tpu.core.types import DocStore, Document
+from rag_uq_tpu.ops import bm25 as bm25_ops
+from rag_uq_tpu.text.tokenize import Vocab, tokenize
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(n: int, floor: int = 1) -> int:
+    n = max(n, floor)
+    return 1 << (n - 1).bit_length()
+
+
+class BM25Index:
+    """Incremental BM25 index with device-side scoring."""
+
+    def __init__(
+        self,
+        persist_path: Optional[str] = None,
+        k1: float = 1.5,
+        b: float = 0.75,
+        config: Optional[BM25Config] = None,
+    ):
+        self.config = config or BM25Config(k1=k1, b=b)
+        self.k1 = self.config.k1
+        self.b = self.config.b
+        self.persist_path = Path(persist_path) if persist_path else None
+
+        self.vocab = Vocab()
+        self.store = DocStore()
+        self.doc_lens: List[int] = []
+
+        # Flat append-only posting buffers (host).
+        cap = self.config.initial_postings_capacity
+        self._tid = np.zeros(cap, dtype=np.int32)
+        self._doc = np.zeros(cap, dtype=np.int32)
+        self._tf = np.zeros(cap, dtype=np.int32)
+        self._n_postings = 0
+
+        self._dirty = True
+        self._device: Optional[Dict[str, object]] = None
+
+        if self.persist_path and self.persist_path.exists():
+            self._load()
+
+    # -- build ----------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    def _reserve(self, extra: int) -> None:
+        need = self._n_postings + extra
+        if need <= self._tid.shape[0]:
+            return
+        new_cap = _next_pow2(need)
+        for name in ("_tid", "_doc", "_tf"):
+            buf = getattr(self, name)
+            grown = np.zeros(new_cap, dtype=buf.dtype)
+            grown[: self._n_postings] = buf[: self._n_postings]
+            setattr(self, name, grown)
+
+    def add_documents(self, documents: Sequence[Document]) -> int:
+        """Add new documents (dedup by id). Returns number added."""
+        new_tids: List[int] = []
+        new_docs: List[int] = []
+        new_tfs: List[int] = []
+        new_count = 0
+        for doc in documents:
+            if doc.id in self.store:
+                continue
+            pos = self.store.append(doc)
+            toks = tokenize(doc.text)
+            self.doc_lens.append(len(toks))
+            counts: Dict[int, int] = {}
+            for tok in toks:
+                tid = self.vocab.add(tok)
+                counts[tid] = counts.get(tid, 0) + 1
+            for tid, tf in counts.items():
+                new_tids.append(tid)
+                new_docs.append(pos)
+                new_tfs.append(tf)
+            new_count += 1
+
+        if new_count:
+            n = len(new_tids)
+            self._reserve(n)
+            s = self._n_postings
+            self._tid[s : s + n] = new_tids
+            self._doc[s : s + n] = new_docs
+            self._tf[s : s + n] = new_tfs
+            self._n_postings += n
+            self._dirty = True
+            logger.info(
+                "Added %d documents to BM25 index. Total: %d", new_count, len(self)
+            )
+        if self.persist_path:
+            self._save()
+        return new_count
+
+    def _sync(self) -> Dict[str, object]:
+        """(Re)build device CSR arrays from host buffers. Lazy: only if dirty."""
+        if self._device is not None and not self._dirty:
+            return self._device
+
+        n_docs = len(self.store)
+        n_post = self._n_postings
+        vsize = len(self.vocab)
+        tid = self._tid[:n_post]
+        doc = self._doc[:n_post]
+        tf = self._tf[:n_post].astype(np.float64)
+
+        # CSR by term, docs ascending within each term (stable sort over
+        # buffers that were appended in ascending doc order).
+        order = np.argsort(tid, kind="stable")
+        tid_s, doc_s, tf_s = tid[order], doc[order], tf[order]
+        df = np.bincount(tid_s, minlength=vsize).astype(np.int64)
+        indptr = np.zeros(vsize + 1, dtype=np.int64)
+        np.cumsum(df, out=indptr[1:])
+
+        # Okapi idf with rank_bm25's epsilon floor.
+        idf = np.zeros(vsize, dtype=np.float64)
+        active = df > 0
+        idf[active] = np.log(n_docs - df[active] + 0.5) - np.log(df[active] + 0.5)
+        if active.any():
+            avg_idf = idf[active].mean()
+            eps = self.config.idf_epsilon * avg_idf
+            idf[active & (idf < 0)] = eps
+
+        # Precompute per-posting impacts.
+        doc_len = np.asarray(self.doc_lens, dtype=np.float64)
+        avgdl = doc_len.mean() if n_docs else 1.0
+        dl = doc_len[doc_s] if n_docs else np.zeros(0)
+        denom = tf_s + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+        w_s = idf[tid_s] * tf_s * (self.k1 + 1.0) / np.maximum(denom, 1e-12)
+
+        # Impact-ordered candidate copy (descending w within each term).
+        cand_order = np.lexsort((-w_s, tid_s))
+        cand_doc = doc_s[cand_order]
+        cand_w = w_s[cand_order]
+
+        pcap = _next_pow2(max(n_post, 1), floor=1024)
+        vcap = _next_pow2(max(vsize, 1), floor=1024)
+        ncap = _next_pow2(max(n_docs, 1), floor=1024)
+
+        def pad_i32(a: np.ndarray, size: int, fill: int = 0) -> np.ndarray:
+            out = np.full(size, fill, dtype=np.int32)
+            out[: a.shape[0]] = a.astype(np.int32)
+            return out
+
+        def pad_f32(a: np.ndarray, size: int) -> np.ndarray:
+            out = np.zeros(size, dtype=np.float32)
+            out[: a.shape[0]] = a.astype(np.float32)
+            return out
+
+        indptr_p = np.full(vcap + 1, n_post, dtype=np.int32)
+        indptr_p[: vsize + 1] = indptr.astype(np.int32)
+
+        self._device = {
+            "indptr": jnp.asarray(indptr_p),
+            "post_doc": jnp.asarray(pad_i32(doc_s, pcap)),
+            "post_w": jnp.asarray(pad_f32(w_s, pcap)),
+            "cand_indptr": jnp.asarray(indptr_p),
+            "cand_doc": jnp.asarray(pad_i32(cand_doc, pcap)),
+            "cand_w": jnp.asarray(pad_f32(cand_w, pcap)),
+            "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
+            "n_docs_cap": int(ncap),
+        }
+        self._dirty = False
+        logger.info(
+            "Synced BM25 device index: %d docs, %d terms, %d postings",
+            n_docs, vsize, n_post,
+        )
+        return self._device
+
+    # -- queries ---------------------------------------------------------------
+
+    def encode_queries(self, queries: Sequence[str]) -> np.ndarray:
+        """Tokenize + vocab-encode queries into a padded [B, Lq] id batch."""
+        token_lists = [tokenize(q) for q in queries]
+        max_terms = self.config.max_query_terms
+        longest = max((len(t) for t in token_lists), default=1)
+        lq = min(_next_pow2(max(longest, 1), floor=8), max_terms)
+        out = np.full((len(queries), lq), -1, dtype=np.int32)
+        for i, toks in enumerate(token_lists):
+            ids = self.vocab.encode(toks[:lq])
+            out[i, : len(ids)] = ids
+        return out
+
+    def score_all_batch(self, queries: Sequence[str]) -> np.ndarray:
+        """Exhaustive BM25 scores [B, n_docs] (reference get_scores parity)."""
+        dev = self._sync()
+        qtids = jnp.asarray(self.encode_queries(queries))
+        scores = bm25_ops.score_all(
+            dev["indptr"], dev["post_doc"], dev["post_w"],
+            qtids, dev["n_docs_cap"], dev["max_df"],
+        )
+        return np.asarray(scores)[:, : len(self.store)]
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        exact: bool = True,
+        beam: int = 1024,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched top-k: (scores [B, k], doc positions [B, k], -1 = dead)."""
+        dev = self._sync()
+        qtids = jnp.asarray(self.encode_queries(queries))
+        if exact:
+            scores = bm25_ops.score_all(
+                dev["indptr"], dev["post_doc"], dev["post_w"],
+                qtids, dev["n_docs_cap"], dev["max_df"],
+            )
+            vals, idx = bm25_ops.topk_from_scores(scores, top_k)
+        else:
+            vals, idx = bm25_ops.topk_twostage(
+                dev["indptr"], dev["post_doc"], dev["post_w"],
+                dev["cand_indptr"], dev["cand_doc"], dev["cand_w"],
+                qtids, top_k, beam=beam,
+            )
+            # Apply the positive-scores-only contract.
+            dead = np.asarray(vals) <= 0.0
+            vals = np.where(dead, 0.0, np.asarray(vals))
+            idx = np.where(dead, -1, np.asarray(idx))
+            return vals, idx
+        return np.asarray(vals), np.asarray(idx)
+
+    def score_positions_batch(
+        self, queries: Sequence[str], positions: np.ndarray
+    ) -> np.ndarray:
+        """Exact BM25 scores for given doc positions [B, P] (-1 padded)."""
+        dev = self._sync()
+        qtids = jnp.asarray(self.encode_queries(queries))
+        scores = bm25_ops.score_docs(
+            dev["indptr"], dev["post_doc"], dev["post_w"],
+            qtids, jnp.asarray(positions.astype(np.int32)),
+        )
+        return np.asarray(scores)
+
+    def search(self, query: str, top_k: int = 10) -> List[Tuple[str, float]]:
+        """Single-query search; positive scores only (parity :165-179)."""
+        if len(self.store) == 0:
+            return []
+        vals, idx = self.search_batch([query], top_k=min(top_k, len(self.store)))
+        results = []
+        for score, pos in zip(vals[0], idx[0]):
+            if pos >= 0 and score > 0:
+                results.append((self.store.ids[int(pos)], float(score)))
+        return results
+
+    def get_document(self, doc_id: str) -> Optional[Document]:
+        return self.store.get(doc_id)
+
+    # -- persistence -------------------------------------------------------------
+
+    def _save(self) -> None:
+        if self.persist_path is None:
+            return
+        self.persist_path.parent.mkdir(parents=True, exist_ok=True)
+        n = self._n_postings
+        np.savez_compressed(
+            self.persist_path.with_suffix(".npz"),
+            tid=self._tid[:n],
+            doc=self._doc[:n],
+            tf=self._tf[:n],
+            doc_lens=np.asarray(self.doc_lens, dtype=np.int64),
+        )
+        meta = {
+            "k1": self.k1,
+            "b": self.b,
+            "terms": [self.vocab.term_of(i) for i in range(len(self.vocab))],
+            "docs": [
+                {
+                    "id": self.store.ids[i],
+                    "text": self.store.texts[i],
+                    "title": self.store.titles[i],
+                    "metadata": self.store.metadatas[i],
+                }
+                for i in range(len(self.store))
+            ],
+        }
+        with open(self.persist_path, "w") as f:
+            json.dump(meta, f)
+        logger.debug("Saved BM25 index to %s", self.persist_path)
+
+    def _load(self) -> None:
+        with open(self.persist_path) as f:
+            meta = json.load(f)
+        self.k1 = meta["k1"]
+        self.b = meta["b"]
+        for term in meta["terms"]:
+            self.vocab.add(term)
+        for d in meta["docs"]:
+            self.store.append(
+                Document(d["id"], d["text"], d.get("title"), d.get("metadata"))
+            )
+        arrays = np.load(self.persist_path.with_suffix(".npz"))
+        n = arrays["tid"].shape[0]
+        self._reserve(n)
+        self._tid[:n] = arrays["tid"]
+        self._doc[:n] = arrays["doc"]
+        self._tf[:n] = arrays["tf"]
+        self._n_postings = n
+        self.doc_lens = arrays["doc_lens"].tolist()
+        self._dirty = True
+        logger.info("Loaded BM25 index with %d documents", len(self.store))

@@ -1,0 +1,223 @@
+"""TinyLM: byte-level flax decoder with on-device sampling.
+
+The TPU-native generation path replacing the reference's external llama.cpp
+service (confidence.py:150-158): a decoder-only transformer with a KV-cached,
+jit-compiled autoregressive sampling loop (temperature + nucleus/top-p) that
+produces a whole batch of stochastic samples in one device program — the
+mechanism behind vmapped MC-dropout sampling (K samples = batch axis), versus
+the reference's K serial HTTP calls (confidence.py:225-231).
+
+Byte-level vocabulary (256 bytes + BOS + EOS) makes the model tokenizer-free
+and fully deterministic given (weights, seed). Weights are random-init by
+default — semantics come from loading trained weights via `load_params`; all
+framework machinery (caching, sampling, batching, UQ integration) is real and
+tested regardless.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BOS = 256
+EOS = 257
+VOCAB = 258
+
+
+@dataclass(frozen=True)
+class TinyLMConfig:
+    dim: int = 256
+    num_layers: int = 4
+    num_heads: int = 8
+    mlp_dim: int = 1024
+    max_prompt_len: int = 256
+    max_total_len: int = 512
+    dtype: str = "bfloat16"
+
+
+class DecoderModel(nn.Module):
+    config: TinyLMConfig
+
+    @nn.compact
+    def __call__(self, tok: jax.Array, pos: jax.Array) -> jax.Array:
+        """One decode step: tok [B, 1] int32, pos [B, 1] int32 -> logits [B, VOCAB]."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        x = nn.Embed(VOCAB, cfg.dim, dtype=dtype)(tok)
+        x = x + nn.Embed(cfg.max_total_len, cfg.dim, dtype=dtype)(pos)
+        for _ in range(cfg.num_layers):
+            h = nn.LayerNorm(dtype=dtype)(x)
+            h = nn.SelfAttention(
+                num_heads=cfg.num_heads, dtype=dtype, decode=True, deterministic=True
+            )(h)
+            x = x + h
+            h = nn.LayerNorm(dtype=dtype)(x)
+            h = nn.Dense(cfg.mlp_dim, dtype=dtype)(h)
+            h = nn.gelu(h)
+            h = nn.Dense(cfg.dim, dtype=dtype)(h)
+            x = x + h
+        x = nn.LayerNorm(dtype=dtype)(x)
+        logits = nn.Dense(VOCAB, dtype=jnp.float32)(x)
+        return logits[:, -1, :]
+
+
+def sample_top_p(
+    rng: jax.Array, logits: jax.Array, temperature: jax.Array, top_p: jax.Array
+) -> jax.Array:
+    """Temperature + nucleus sampling. logits [B, V]; temperature/top_p [B]."""
+    scaled = logits / jnp.maximum(temperature[:, None], 1e-4)
+    probs = jax.nn.softmax(scaled, axis=-1)
+    sorted_probs = -jnp.sort(-probs, axis=-1)
+    cum = jnp.cumsum(sorted_probs, axis=-1)
+    # Keep the smallest prefix whose mass reaches top_p (always >= 1 token).
+    keep_sorted = (cum - sorted_probs) < top_p[:, None]
+    # Threshold = smallest kept probability.
+    thresh = jnp.min(
+        jnp.where(keep_sorted, sorted_probs, jnp.inf), axis=-1, keepdims=True
+    )
+    masked = jnp.where(probs >= thresh, scaled, -jnp.inf)
+    return jax.random.categorical(rng, masked, axis=-1)
+
+
+class TinyLM:
+    """Batched sampler over the flax decoder."""
+
+    def __init__(self, config: Optional[TinyLMConfig] = None, seed: int = 0):
+        self.config = config or TinyLMConfig()
+        self.model = DecoderModel(self.config)
+        rng = jax.random.PRNGKey(seed)
+        dummy_tok = jnp.zeros((1, 1), dtype=jnp.int32)
+        dummy_pos = jnp.zeros((1, 1), dtype=jnp.int32)
+        self.params = self.model.init(rng, dummy_tok, dummy_pos)["params"]
+        self._samplers = {}
+
+    def load_params(self, params) -> None:
+        self.params = params
+
+    def _init_cache(self, batch: int):
+        cfg = self.config
+        variables = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
+            jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
+        )
+        return variables["cache"]
+
+    def _get_sampler(self, batch: int, max_tokens: int, prompt_len: int):
+        key = (batch, max_tokens, prompt_len)
+        if key in self._samplers:
+            return self._samplers[key]
+
+        model = self.model
+        n_steps = prompt_len + max_tokens - 1
+
+        @jax.jit
+        def run(params, cache, prompts, plens, temps, top_ps, rng):
+            # prompts [B, prompt_len] int32 (BOS-prefixed, 0-padded); plens [B].
+            out = jnp.zeros((batch, max_tokens), dtype=jnp.int32)
+            tok0 = prompts[:, 0:1]
+
+            def step(carry, i):
+                cache, tok, rng, done, out, last = carry
+                pos = jnp.full((batch, 1), i, dtype=jnp.int32)
+                logits, updated = model.apply(
+                    {"params": params, "cache": cache},
+                    tok, pos, mutable=["cache"],
+                )
+                cache = updated["cache"]
+                rng, sub = jax.random.split(rng)
+                sampled = sample_top_p(sub, logits, temps, top_ps)
+                # Next input: forced prompt token while inside the prompt.
+                in_prompt = (i + 1) < plens
+                safe_next = jnp.clip(i + 1, 0, prompt_len - 1)
+                forced = prompts[:, safe_next]
+                next_tok = jnp.where(in_prompt, forced, sampled)
+                # Collect generated tokens once past the prompt.
+                col = i + 1 - plens
+                active = (~in_prompt) & (~done) & (col < max_tokens)
+                safe_col = jnp.clip(col, 0, max_tokens - 1)
+                cur = out[jnp.arange(batch), safe_col]
+                out = out.at[jnp.arange(batch), safe_col].set(
+                    jnp.where(active, sampled, cur)
+                )
+                done = done | (active & (sampled == EOS))
+                return (cache, next_tok[:, None], rng, done, out, sampled), None
+
+            done0 = jnp.zeros((batch,), dtype=bool)
+            carry = (cache, tok0, rng, done0, out, jnp.zeros((batch,), jnp.int32))
+            (cache, _, _, _, out, _), _ = jax.lax.scan(
+                step, carry, jnp.arange(n_steps, dtype=jnp.int32)
+            )
+            return out
+
+        self._samplers[key] = run
+        return run
+
+    # -- encoding ---------------------------------------------------------------
+
+    def _encode_prompts(self, prompts: Sequence[str]):
+        cfg = self.config
+        max_bytes = cfg.max_prompt_len - 1
+        encoded = [list(p.encode("utf-8")[-max_bytes:]) for p in prompts]
+        plen = max(len(e) for e in encoded) + 1
+        batch = np.zeros((len(prompts), plen), dtype=np.int32)
+        lens = np.zeros((len(prompts),), dtype=np.int32)
+        for i, e in enumerate(encoded):
+            batch[i, 0] = BOS
+            batch[i, 1 : 1 + len(e)] = e
+            lens[i] = 1 + len(e)
+        return batch, lens, plen
+
+    @staticmethod
+    def _decode(tokens: np.ndarray) -> str:
+        raw = []
+        for t in tokens:
+            if t == EOS or t == 0:
+                break
+            if t < 256:
+                raw.append(int(t))
+        return bytes(raw).decode("utf-8", errors="replace").strip()
+
+    # -- Generator interface -------------------------------------------------------
+
+    def generate_batch(
+        self,
+        prompts: Sequence[str],
+        temperatures: Sequence[float],
+        top_ps: Sequence[float],
+        max_tokens: int = 100,
+        seed: Optional[int] = None,
+    ) -> List[str]:
+        batch_tok, lens, plen = self._encode_prompts(prompts)
+        batch = len(prompts)
+        cache = self._init_cache(batch)
+        sampler = self._get_sampler(batch, max_tokens, plen)
+        out = sampler(
+            self.params,
+            cache,
+            jnp.asarray(batch_tok),
+            jnp.asarray(lens),
+            jnp.asarray(np.asarray(temperatures, dtype=np.float32)),
+            jnp.asarray(np.asarray(top_ps, dtype=np.float32)),
+            jax.random.PRNGKey(seed if seed is not None else 0),
+        )
+        out = np.asarray(out)
+        return [self._decode(out[i]) for i in range(batch)]
+
+    def generate(
+        self,
+        prompt: str,
+        temperature: float = 0.1,
+        top_p: float = 0.9,
+        max_tokens: int = 100,
+        seed: Optional[int] = None,
+    ) -> str:
+        return self.generate_batch(
+            [prompt], [temperature], [top_p], max_tokens, seed
+        )[0]

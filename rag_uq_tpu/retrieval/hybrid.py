@@ -1,0 +1,172 @@
+"""Hybrid retriever: BM25 + dense with union-pool score fusion.
+
+Behavioral parity with the reference's `HybridRetriever`
+(rag_uq/streaming_index.py:376-560): top-`retrieval_pool_size` from each
+retriever, union of doc ids with missing scores = 0.0, per-query
+max-normalization of each score column, fusion by the mean of the two, and
+`get_scores_for_router` returning aligned zero-padded arrays. Both retrievers
+run on device; this layer also exposes a fully batched path used by the
+benchmark and the sharded multi-chip search.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig, EmbedderConfig
+from rag_uq_tpu.core.types import DocStore, Document, RetrievalResult
+from rag_uq_tpu.embed.base import Embedder
+from rag_uq_tpu.index.dense import DenseIndex
+from rag_uq_tpu.index.sparse import BM25Index
+
+logger = logging.getLogger(__name__)
+
+
+class HybridRetriever:
+    """Unified hybrid retrieval combining BM25 and dense search."""
+
+    def __init__(
+        self,
+        bm25_persist_path: Optional[str] = None,
+        dense_persist_directory: Optional[str] = None,
+        embedder: Optional[Embedder] = None,
+        bm25_config: Optional[BM25Config] = None,
+        dense_config: Optional[DenseIndexConfig] = None,
+        embedder_config: Optional[EmbedderConfig] = None,
+    ):
+        self.bm25_index = BM25Index(
+            persist_path=bm25_persist_path, config=bm25_config
+        )
+        self.dense_index = DenseIndex(
+            embedder=embedder,
+            config=dense_config,
+            embedder_config=embedder_config,
+            persist_directory=dense_persist_directory,
+        )
+        # Host-side doc store for text lookup (reference :423). The two
+        # indices append in the same order, so row positions coincide.
+        self.documents: DocStore = self.dense_index.store
+
+    def __len__(self) -> int:
+        return len(self.documents)
+
+    def add_documents(
+        self, documents: Sequence[Document], batch_size: int = 256
+    ) -> Dict[str, int]:
+        stats = {
+            "bm25_added": self.bm25_index.add_documents(documents),
+            "dense_added": self.dense_index.add_documents(documents, batch_size),
+        }
+        stats["total_documents"] = len(self.documents)
+        return stats
+
+    # -- single-method search (parity :451-462) ---------------------------------
+
+    def bm25_search(self, query: str, top_k: int = 20) -> List[Tuple[str, float]]:
+        return self.bm25_index.search(query, top_k)
+
+    def dense_search(self, query: str, top_k: int = 20) -> List[Tuple[str, float]]:
+        return [
+            (doc_id, score) for doc_id, score, _ in self.dense_index.search(query, top_k)
+        ]
+
+    # -- batched union pool (device hot path) -----------------------------------
+
+    def pooled_scores_batch(
+        self,
+        queries: Sequence[str],
+        pool_size: int = 50,
+        exact_bm25: bool = True,
+        beam: int = 1024,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Union-pool doc positions + aligned raw scores for a query batch.
+
+        Returns (positions [B, 2*pool], bm25 [B, 2*pool], dense [B, 2*pool]);
+        position -1 marks dead slots (deduped or missing), whose scores are 0.
+        Missing-in-one-retriever scores are the exact scores computed on the
+        union pool (>= the reference's 0.0 placeholder, since ours are exact).
+        """
+        n = len(self.documents)
+        pool = min(pool_size, max(n, 1))
+        b_scores, b_pos = self.bm25_index.search_batch(
+            queries, top_k=pool, exact=exact_bm25, beam=beam
+        )
+        d_scores, d_pos = self.dense_index.search_batch(queries, top_k=pool)
+
+        # Union with dedup: prefer the first occurrence (bm25 block first).
+        cat = np.concatenate([b_pos, d_pos], axis=1)  # [B, 2*pool]
+        bsz, width = cat.shape
+        positions = np.full((bsz, width), -1, dtype=np.int32)
+        for i in range(bsz):
+            seen = set()
+            j = 0
+            for p in cat[i]:
+                p = int(p)
+                if p >= 0 and p not in seen:
+                    seen.add(p)
+                    positions[i, j] = p
+                    j += 1
+
+        bm25 = np.array(self.bm25_index.score_positions_batch(queries, positions))
+        dense = np.array(self.dense_index.score_positions_batch(queries, positions))
+        dead = positions < 0
+        bm25[dead] = 0.0
+        dense[dead] = 0.0
+        return positions, bm25, dense
+
+    # -- hybrid search (parity :464-523) -----------------------------------------
+
+    def hybrid_search(
+        self,
+        query: str,
+        top_k: int = 10,
+        retrieval_pool_size: int = 50,
+    ) -> List[RetrievalResult]:
+        """Union pool -> max-normalize each column -> rank by mean score."""
+        if len(self.documents) == 0:
+            return []
+        positions, bm25, dense = self.pooled_scores_batch(
+            [query], pool_size=retrieval_pool_size
+        )
+        positions, bm25, dense = positions[0], bm25[0], dense[0]
+        live = positions >= 0
+        if not live.any():
+            return []
+        max_bm25 = bm25[live].max() or 1.0
+        max_dense = dense[live].max() or 1.0
+
+        results = []
+        for pos, bs, ds in zip(positions[live], bm25[live], dense[live]):
+            doc = self.documents.document_at(int(pos))
+            results.append(
+                RetrievalResult(
+                    doc_id=doc.id,
+                    text=doc.text,
+                    bm25_score=float(bs),
+                    dense_score=float(ds),
+                    hybrid_score=float(bs / max_bm25 + ds / max_dense) / 2,
+                    title=doc.title,
+                    metadata=doc.metadata,
+                )
+            )
+        results.sort(key=lambda r: r.hybrid_score or 0, reverse=True)
+        return results[:top_k]
+
+    def get_scores_for_router(
+        self, query: str, num_passages: int = 20
+    ) -> Tuple[List[float], List[float], List[str], List[str]]:
+        """Aligned zero-padded score arrays for the router (parity :525-557)."""
+        results = self.hybrid_search(query, top_k=num_passages)
+        bm25_scores = [r.bm25_score for r in results]
+        dense_scores = [r.dense_score for r in results]
+        doc_ids = [r.doc_id for r in results]
+        texts = [r.text for r in results]
+        while len(bm25_scores) < num_passages:
+            bm25_scores.append(0.0)
+            dense_scores.append(0.0)
+            doc_ids.append("")
+            texts.append("")
+        return bm25_scores, dense_scores, doc_ids, texts

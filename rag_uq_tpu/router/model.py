@@ -1,0 +1,197 @@
+"""Learned retrieval router: a flax MLP gating BM25 vs dense scores.
+
+Parity with the reference's RetrievalRouter (rag_uq/router.py:44-232):
+per-passage features [bm25_norm, dense_norm, dense_norm - bm25_norm], MLP
+(num_layers-1 hidden blocks of Dense(hidden_dim)+ReLU+Dropout, final
+Dense(1)+sigmoid), score normalization by EMA running mean/std (momentum
+0.1, sample std with ddof=1 + 1e-6 eps) updated only in train mode, with
+batch statistics used until the running stats initialize.
+
+The module is pure flax (params + a mutable "stats" collection), so the
+train step jits end-to-end; `RetrievalRouter` is the stateful convenience
+wrapper with the reference's method surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_uq_tpu.core.config import RouterConfig
+
+_EPS = 1e-6
+
+
+def _sample_std(x: jax.Array) -> jax.Array:
+    """Sample standard deviation (ddof=1), matching torch.Tensor.std()."""
+    n = x.size
+    mean = jnp.mean(x)
+    var = jnp.sum((x - mean) ** 2) / jnp.maximum(n - 1, 1)
+    return jnp.sqrt(var)
+
+
+class RouterModule(nn.Module):
+    config: RouterConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        bm25_scores: jax.Array,  # [B, P]
+        dense_scores: jax.Array,  # [B, P]
+        update_stats: bool = True,
+        train: bool = False,
+    ) -> jax.Array:
+        cfg = self.config
+        bm25_mean = self.variable("stats", "bm25_mean", lambda: jnp.float32(0.0))
+        bm25_std = self.variable("stats", "bm25_std", lambda: jnp.float32(1.0))
+        dense_mean = self.variable("stats", "dense_mean", lambda: jnp.float32(0.0))
+        dense_std = self.variable("stats", "dense_std", lambda: jnp.float32(1.0))
+        initialized = self.variable("stats", "initialized", lambda: jnp.float32(0.0))
+
+        b = bm25_scores.astype(jnp.float32)
+        d = dense_scores.astype(jnp.float32)
+
+        batch_b_mean, batch_b_std = jnp.mean(b), _sample_std(b) + _EPS
+        batch_d_mean, batch_d_std = jnp.mean(d), _sample_std(d) + _EPS
+
+        if update_stats and train:
+            m = cfg.ema_momentum
+            bm25_mean.value = (1 - m) * bm25_mean.value + m * batch_b_mean
+            bm25_std.value = (1 - m) * bm25_std.value + m * batch_b_std
+            dense_mean.value = (1 - m) * dense_mean.value + m * batch_d_mean
+            dense_std.value = (1 - m) * dense_std.value + m * batch_d_std
+            initialized.value = jnp.float32(1.0)
+
+        use_running = initialized.value > 0.5
+        b_norm = jnp.where(
+            use_running,
+            (b - bm25_mean.value) / (bm25_std.value + _EPS),
+            (b - batch_b_mean) / (batch_b_std + _EPS),
+        )
+        d_norm = jnp.where(
+            use_running,
+            (d - dense_mean.value) / (dense_std.value + _EPS),
+            (d - batch_d_mean) / (batch_d_std + _EPS),
+        )
+
+        feats = jnp.stack([b_norm, d_norm, d_norm - b_norm], axis=-1)  # [B, P, 3]
+        x = feats.reshape(-1, 3)
+        for _ in range(cfg.num_layers - 1):
+            x = nn.Dense(cfg.hidden_dim)(x)
+            if cfg.use_batch_norm:
+                x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(cfg.dropout, deterministic=not train)(x)
+        x = nn.Dense(1)(x)
+        weights = nn.sigmoid(x)
+        return weights.reshape(bm25_scores.shape)
+
+
+class RetrievalRouter:
+    """Stateful wrapper with the reference's method surface (router.py:44-232)."""
+
+    def __init__(self, config: Optional[RouterConfig] = None, seed: int = 0):
+        self.config = config or RouterConfig()
+        self.module = RouterModule(self.config)
+        rng = jax.random.PRNGKey(seed)
+        dummy = jnp.zeros((1, 4), dtype=jnp.float32)
+        variables = self.module.init(
+            {"params": rng, "dropout": rng}, dummy, dummy, update_stats=False
+        )
+        self.params = variables["params"]
+        self.stats = variables["stats"]
+        self.extra = {
+            k: v for k, v in variables.items() if k not in ("params", "stats")
+        }
+        self._training = False
+        self._dropout_rng = jax.random.PRNGKey(seed + 1)
+
+    # -- torch-style mode switches -------------------------------------------
+
+    def train(self) -> "RetrievalRouter":
+        self._training = True
+        return self
+
+    def eval(self) -> "RetrievalRouter":
+        self._training = False
+        return self
+
+    @property
+    def training(self) -> bool:
+        return self._training
+
+    @property
+    def stats_initialized(self) -> bool:
+        return bool(self.stats["initialized"] > 0.5)
+
+    def num_params(self) -> int:
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+
+    def _next_dropout(self) -> jax.Array:
+        self._dropout_rng, sub = jax.random.split(self._dropout_rng)
+        return sub
+
+    # -- forward ----------------------------------------------------------------
+
+    def __call__(self, bm25_scores, dense_scores, update_stats: bool = True):
+        return self.forward(bm25_scores, dense_scores, update_stats)
+
+    def forward(self, bm25_scores, dense_scores, update_stats: bool = True):
+        """Per-passage gating weights in [0, 1]; 1 favors dense retrieval."""
+        bm25_scores = jnp.asarray(bm25_scores, dtype=jnp.float32)
+        dense_scores = jnp.asarray(dense_scores, dtype=jnp.float32)
+        variables = {"params": self.params, "stats": self.stats, **self.extra}
+        if self._training:
+            weights, updated = self.module.apply(
+                variables,
+                bm25_scores,
+                dense_scores,
+                update_stats=update_stats,
+                train=True,
+                rngs={"dropout": self._next_dropout()},
+                mutable=["stats"],
+            )
+            self.stats = updated["stats"]
+        else:
+            weights = self.module.apply(
+                variables,
+                bm25_scores,
+                dense_scores,
+                update_stats=False,
+                train=False,
+            )
+        return weights
+
+    def hybrid_rerank(
+        self, bm25_scores, dense_scores, top_k: int = 10
+    ) -> Tuple[jax.Array, jax.Array]:
+        """w*dense + (1-w)*bm25, then top-k (parity router.py:179-202)."""
+        bm25_scores = jnp.asarray(bm25_scores, dtype=jnp.float32)
+        dense_scores = jnp.asarray(dense_scores, dtype=jnp.float32)
+        weights = self.forward(bm25_scores, dense_scores, update_stats=False)
+        hybrid = weights * dense_scores + (1 - weights) * bm25_scores
+        k = min(top_k, hybrid.shape[-1])
+        return jax.lax.top_k(hybrid, k)
+
+    def get_routing_decision(
+        self, bm25_scores, dense_scores, threshold: float = 0.5
+    ) -> Dict[str, Any]:
+        """Interpretable routing stats (parity router.py:204-232)."""
+        weights = np.asarray(
+            self.forward(
+                jnp.asarray(bm25_scores, dtype=jnp.float32),
+                jnp.asarray(dense_scores, dtype=jnp.float32),
+                update_stats=False,
+            )
+        )
+        return {
+            "avg_dense_weight": float(weights.mean()),
+            "weight_std": float(weights.std(ddof=1)) if weights.size > 1 else 0.0,
+            "dense_preferred_ratio": float((weights > threshold).mean()),
+            "bm25_preferred_ratio": float((weights <= threshold).mean()),
+            "routing_weights": weights,
+        }

@@ -1,0 +1,258 @@
+"""Split conformal prediction with SQLite-persisted calibration.
+
+Capability parity with the reference's ConformalRAG
+(rag_uq/confidence.py:275-580): nonconformity = 1 - ROUGE-L(pred, truth);
+SQLite table `calibration_scores` with a unique md5 query hash for
+resumable calibration; threshold = quantile of calibration scores at the
+finite-sample-corrected level ceil((n+1)(1-alpha))/n; inference-time
+heuristic nonconformity from the answer/context length ratio
+1 - min(1, 4r(1-r)); conformal p-value (rank+1)/(n+1); is_reliable iff
+p-value > alpha.
+
+TPU-native difference: the calibration score vector is kept as a device
+array and both the threshold quantile and the p-value rank are computed on
+device (jnp), so they compose with jit-compiled evaluation loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import sqlite3
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_uq_tpu.eval.metrics import rouge_l as _rouge_l
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class ConformalResult:
+    """Result from conformal prediction (parity: confidence.py:58-66)."""
+
+    prediction: str
+    confidence: float
+    p_value: float
+    is_reliable: bool
+    coverage_alpha: float
+    metadata: Dict[str, Any] = field(default_factory=dict)
+
+
+@jax.jit
+def conformal_threshold_device(scores: jax.Array, alpha: jax.Array) -> jax.Array:
+    """(1-alpha) quantile with finite-sample correction (parity :478-493)."""
+    n = scores.shape[0]
+    q_level = jnp.minimum(jnp.ceil((n + 1) * (1.0 - alpha)) / n, 1.0)
+    return jnp.quantile(scores, q_level)
+
+
+@jax.jit
+def conformal_p_value_device(scores: jax.Array, estimated: jax.Array) -> jax.Array:
+    """p = (#{s >= estimated} + 1) / (n + 1) (parity :541-544)."""
+    n = scores.shape[0]
+    rank = jnp.sum(scores >= estimated)
+    return (rank + 1.0) / (n + 1.0)
+
+
+class ConformalRAG:
+    """Conformal predictor with frequentist coverage guarantee P >= 1 - alpha."""
+
+    def __init__(
+        self,
+        llm_client,
+        calibration_db_path: str = "data/calibration_scores.db",
+        alpha: float = 0.1,
+    ):
+        self.llm = llm_client
+        self.alpha = alpha
+        self.db_path = Path(calibration_db_path)
+        self.calibration_scores: List[float] = []
+        self._scores_device: Optional[jax.Array] = None
+        self._init_database()
+        self._load_calibration()
+
+    # -- storage -----------------------------------------------------------------
+
+    def _init_database(self) -> None:
+        self.db_path.parent.mkdir(parents=True, exist_ok=True)
+        with sqlite3.connect(self.db_path) as conn:
+            conn.execute(
+                """
+                CREATE TABLE IF NOT EXISTS calibration_scores (
+                    id INTEGER PRIMARY KEY AUTOINCREMENT,
+                    query_hash TEXT UNIQUE,
+                    question TEXT,
+                    predicted_answer TEXT,
+                    true_answer TEXT,
+                    nonconformity_score REAL,
+                    rouge_l REAL,
+                    created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP
+                )
+                """
+            )
+            conn.execute(
+                "CREATE INDEX IF NOT EXISTS idx_query_hash"
+                " ON calibration_scores(query_hash)"
+            )
+
+    def _load_calibration(self) -> None:
+        with sqlite3.connect(self.db_path) as conn:
+            cursor = conn.execute(
+                "SELECT nonconformity_score FROM calibration_scores ORDER BY id"
+            )
+            self.calibration_scores = [row[0] for row in cursor.fetchall()]
+        self._scores_device = (
+            jnp.asarray(np.asarray(self.calibration_scores, dtype=np.float32))
+            if self.calibration_scores
+            else None
+        )
+        logger.info("Loaded %d calibration scores", len(self.calibration_scores))
+
+    @staticmethod
+    def _compute_query_hash(question: str, context: str) -> str:
+        return hashlib.md5(f"{question}|||{context}".encode()).hexdigest()
+
+    # -- scoring -----------------------------------------------------------------
+
+    def rouge_l(self, prediction: str, reference: str) -> float:
+        return _rouge_l(prediction, reference)
+
+    def _generate(self, context: str, question: str) -> str:
+        """Greedy-ish generation at T=0.1 (parity :378-403)."""
+        prompt = (
+            "Answer the following question based on the provided context.\n"
+            "Be concise and precise.\n\n"
+            f"Context: {context}\n\nQuestion: {question}\n\nAnswer:"
+        )
+        try:
+            return self.llm.generate(
+                prompt, temperature=0.1, top_p=0.9, max_tokens=100
+            ).strip()
+        except Exception as e:  # graceful degradation (parity :401-403)
+            logger.error("Generation failed: %s", e)
+            return ""
+
+    def calibrate(
+        self,
+        questions: Sequence[str],
+        contexts: Sequence[str],
+        true_answers: Sequence[str],
+        model: Optional[str] = None,
+        skip_existing: bool = True,
+    ) -> Dict[str, Any]:
+        """Build the calibration set (resumable via query-hash dedup, :405-476)."""
+        new_scores: List[float] = []
+        skipped = 0
+        for i, (q, ctx, true) in enumerate(zip(questions, contexts, true_answers)):
+            query_hash = self._compute_query_hash(q, ctx)
+            if skip_existing:
+                with sqlite3.connect(self.db_path) as conn:
+                    row = conn.execute(
+                        "SELECT 1 FROM calibration_scores WHERE query_hash = ?",
+                        (query_hash,),
+                    ).fetchone()
+                if row:
+                    skipped += 1
+                    continue
+            pred = self._generate(ctx, q)
+            rouge = self.rouge_l(pred, true)
+            nonconformity = 1.0 - rouge
+            with sqlite3.connect(self.db_path) as conn:
+                conn.execute(
+                    """
+                    INSERT OR REPLACE INTO calibration_scores
+                    (query_hash, question, predicted_answer, true_answer,
+                     nonconformity_score, rouge_l)
+                    VALUES (?, ?, ?, ?, ?, ?)
+                    """,
+                    (query_hash, q, pred, true, nonconformity, rouge),
+                )
+            new_scores.append(nonconformity)
+            if (i + 1) % 50 == 0:
+                logger.info("Calibrated %d/%d examples", i + 1, len(questions))
+
+        self._load_calibration()
+        scores = np.asarray(self.calibration_scores)
+        return {
+            "total_calibrated": len(self.calibration_scores),
+            "new_calibrated": len(new_scores),
+            "skipped": skipped,
+            "mean_nonconformity": float(scores.mean()) if scores.size else 0,
+            "std_nonconformity": float(scores.std()) if scores.size else 0,
+        }
+
+    # -- inference ---------------------------------------------------------------
+
+    def get_conformal_threshold(self) -> float:
+        if self._scores_device is None:
+            logger.warning("No calibration scores available")
+            return 1.0
+        return float(
+            conformal_threshold_device(self._scores_device, jnp.float32(self.alpha))
+        )
+
+    @staticmethod
+    def estimate_nonconformity(prediction: str, context: str) -> float:
+        """Length-ratio heuristic 1 - min(1, 4r(1-r)) (parity :533-539)."""
+        pred_tokens = len(prediction.split())
+        context_tokens = len(context.split())
+        r = pred_tokens / (context_tokens + 1)
+        return 1.0 - min(1.0, 4 * r * (1 - r))
+
+    def predict_with_coverage(
+        self, question: str, context: str, model: Optional[str] = None
+    ) -> ConformalResult:
+        """Prediction + conformal reliability (parity :495-561)."""
+        pred = self._generate(context, question)
+
+        if self._scores_device is None:
+            return ConformalResult(
+                prediction=pred,
+                confidence=0.5,
+                p_value=0.5,
+                is_reliable=False,
+                coverage_alpha=self.alpha,
+                metadata={"warning": "No calibration data available"},
+            )
+
+        threshold = self.get_conformal_threshold()
+        estimated = self.estimate_nonconformity(pred, context)
+        p_value = float(
+            conformal_p_value_device(self._scores_device, jnp.float32(estimated))
+        )
+        return ConformalResult(
+            prediction=pred,
+            confidence=1.0 - estimated,
+            p_value=p_value,
+            is_reliable=p_value > self.alpha,
+            coverage_alpha=self.alpha,
+            metadata={
+                "threshold": threshold,
+                "estimated_nonconformity": estimated,
+                "calibration_size": len(self.calibration_scores),
+            },
+        )
+
+    def get_calibration_stats(self) -> Dict[str, Any]:
+        """Summary statistics (parity :563-580)."""
+        if not self.calibration_scores:
+            return {"empty": True}
+        scores = np.asarray(self.calibration_scores)
+        return {
+            "count": len(scores),
+            "mean": float(scores.mean()),
+            "std": float(scores.std()),
+            "min": float(scores.min()),
+            "max": float(scores.max()),
+            "median": float(np.median(scores)),
+            "q25": float(np.percentile(scores, 25)),
+            "q75": float(np.percentile(scores, 75)),
+            "threshold": self.get_conformal_threshold(),
+            "alpha": self.alpha,
+        }

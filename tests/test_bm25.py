@@ -1,0 +1,123 @@
+"""BM25 parity tests: device CSR scoring vs the numpy Okapi oracle."""
+
+import numpy as np
+import pytest
+
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.index.sparse import BM25Index
+from rag_uq_tpu.text.tokenize import tokenize
+
+from tests.oracles import bm25_okapi_scores, make_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    rng = np.random.default_rng(42)
+    return make_synthetic_corpus(rng, n_docs=60)
+
+
+@pytest.fixture(scope="module")
+def index(corpus):
+    idx = BM25Index()
+    idx.add_documents([Document(id=str(i), text=t) for i, t in enumerate(corpus)])
+    return idx
+
+
+QUERIES = [
+    "w1 w2 the",
+    "w10",
+    "the is a",  # stopword-heavy (negative raw idf -> epsilon floor)
+    "w5 w5 w5",  # repeated query terms
+    "unknownterm w3",
+    "",
+]
+
+
+class TestScoreAllParity:
+    @pytest.mark.parametrize("query", QUERIES)
+    def test_matches_okapi_oracle(self, corpus, index, query):
+        got = index.score_all_batch([query])[0]
+        want = bm25_okapi_scores(
+            [tokenize(t) for t in corpus], tokenize(query)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_batch_consistency(self, index):
+        batched = index.score_all_batch(QUERIES[:3])
+        for i, q in enumerate(QUERIES[:3]):
+            single = index.score_all_batch([q])[0]
+            np.testing.assert_allclose(batched[i], single, rtol=1e-6)
+
+
+class TestSearch:
+    def test_top1_is_argmax(self, corpus, index):
+        scores = index.score_all_batch(["w1 w2"])[0]
+        results = index.search("w1 w2", top_k=1)
+        if scores.max() > 0:
+            assert results[0][0] == str(int(np.argmax(scores)))
+            assert results[0][1] == pytest.approx(float(scores.max()), rel=1e-5)
+
+    def test_positive_scores_only(self, index):
+        results = index.search("unknownterm", top_k=5)
+        assert results == []
+
+    def test_empty_index(self):
+        idx = BM25Index()
+        assert idx.search("anything") == []
+
+    def test_twostage_matches_exact_with_full_beam(self, corpus, index):
+        queries = ["w1 w2 the", "w10 w3", "the is"]
+        exact_v, exact_i = index.search_batch(queries, top_k=5, exact=True)
+        fast_v, fast_i = index.search_batch(
+            queries, top_k=5, exact=False, beam=128
+        )  # beam >= max df for this corpus size
+        live = exact_v > 0
+        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=1e-4)
+        np.testing.assert_array_equal(fast_i[live], exact_i[live])
+
+    def test_score_positions_exact(self, corpus, index):
+        query = "w1 w2 the"
+        all_scores = index.score_all_batch([query])[0]
+        positions = np.array([[0, 5, 17, -1]], dtype=np.int32)
+        got = index.score_positions_batch([query], positions)[0]
+        np.testing.assert_allclose(got[:3], all_scores[[0, 5, 17]], rtol=1e-4)
+        assert got[3] == 0.0
+
+
+class TestIncremental:
+    def test_incremental_equals_bulk(self, corpus):
+        bulk = BM25Index()
+        bulk.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        inc = BM25Index()
+        for start in range(0, len(corpus), 7):
+            inc.add_documents(
+                [
+                    Document(str(i), corpus[i])
+                    for i in range(start, min(start + 7, len(corpus)))
+                ]
+            )
+        q = ["w1 w2 the is"]
+        np.testing.assert_allclose(
+            bulk.score_all_batch(q), inc.score_all_batch(q), rtol=1e-6
+        )
+
+    def test_dedup_by_id(self, corpus):
+        idx = BM25Index()
+        docs = [Document(str(i), corpus[i]) for i in range(5)]
+        assert idx.add_documents(docs) == 5
+        assert idx.add_documents(docs) == 0
+        assert len(idx) == 5
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, corpus, tmp_path):
+        path = str(tmp_path / "bm25.json")
+        idx = BM25Index(persist_path=path)
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(20)])
+        scores_before = idx.score_all_batch(["w1 the"])
+
+        idx2 = BM25Index(persist_path=path)
+        assert len(idx2) == 20
+        np.testing.assert_allclose(
+            idx2.score_all_batch(["w1 the"]), scores_before, rtol=1e-6
+        )

@@ -1,0 +1,143 @@
+"""Dense index + hybrid retriever tests: exact top-k vs oracle, fusion parity."""
+
+import numpy as np
+import pytest
+
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.core.config import DenseIndexConfig, EmbedderConfig
+from rag_uq_tpu.embed.hash_embed import NgramHashEmbedder, Sha256Embedder
+from rag_uq_tpu.index.dense import DenseIndex
+from rag_uq_tpu.retrieval.hybrid import HybridRetriever
+
+from tests.oracles import make_synthetic_corpus
+
+import jax.numpy as jnp
+
+from rag_uq_tpu.ops.topk import cosine_topk, merge_topk
+
+
+SMALL_CFG = DenseIndexConfig(embedding_dim=64, initial_capacity=128, score_block=128)
+SMALL_EMB = EmbedderConfig(dim=64, vocab_hash_buckets=4096, max_seq_len=64)
+
+
+class TestCosineTopK:
+    def test_matches_global_topk(self, rng):
+        emb = rng.normal(size=(512, 32)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.normal(size=(7, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        size = 400  # live rows only
+        vals, idx = cosine_topk(
+            jnp.asarray(emb), jnp.asarray(q), jnp.int32(size), 10, block=128
+        )
+        ref_scores = q @ emb[:size].T
+        ref_idx = np.argsort(-ref_scores, axis=1)[:, :10]
+        np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+        np.testing.assert_allclose(
+            np.asarray(vals),
+            np.take_along_axis(ref_scores, ref_idx, axis=1),
+            rtol=1e-5,
+        )
+
+    def test_fewer_live_rows_than_k(self, rng):
+        emb = rng.normal(size=(128, 16)).astype(np.float32)
+        q = rng.normal(size=(2, 16)).astype(np.float32)
+        vals, idx = cosine_topk(
+            jnp.asarray(emb), jnp.asarray(q), jnp.int32(3), 8, block=128
+        )
+        assert (np.asarray(idx)[:, 3:] == -1).all()
+        assert np.isneginf(np.asarray(vals)[:, 3:]).all()
+
+    def test_merge_topk(self, rng):
+        va = np.array([[3.0, 1.0]]); ia = np.array([[0, 2]], dtype=np.int32)
+        vb = np.array([[2.0, 0.5]]); ib = np.array([[5, 7]], dtype=np.int32)
+        v, i = merge_topk(jnp.asarray(va), jnp.asarray(ia), jnp.asarray(vb), jnp.asarray(ib), 3)
+        np.testing.assert_allclose(np.asarray(v)[0], [3.0, 2.0, 1.0])
+        np.testing.assert_array_equal(np.asarray(i)[0], [0, 5, 2])
+
+
+class TestDenseIndex:
+    def test_self_retrieval(self):
+        corpus = make_synthetic_corpus(np.random.default_rng(1), 40)
+        idx = DenseIndex(
+            embedder=NgramHashEmbedder(dim=64, buckets=4096), config=SMALL_CFG
+        )
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        # A document's own text should retrieve itself at rank 1.
+        hits = idx.search(corpus[7], top_k=3)
+        assert hits[0][0] == "7"
+        # bf16 storage rounds the unit norm, so self-similarity is ~1 +- 2^-8.
+        assert hits[0][1] == pytest.approx(1.0, abs=0.01)
+
+    def test_growth_preserves_content(self):
+        emb = Sha256Embedder(dim=64)
+        idx = DenseIndex(embedder=emb, config=SMALL_CFG)
+        docs = [Document(str(i), f"text number {i}") for i in range(300)]
+        idx.add_documents(docs[:50])
+        before = idx.search("text number 13", top_k=1)
+        idx.add_documents(docs[50:])  # forces capacity growth
+        after = idx.search("text number 13", top_k=1)
+        assert before[0][0] == after[0][0]
+        assert len(idx) == 300
+
+    def test_dedup(self):
+        idx = DenseIndex(embedder=Sha256Embedder(dim=64), config=SMALL_CFG)
+        docs = [Document("a", "alpha"), Document("b", "beta")]
+        assert idx.add_documents(docs) == 2
+        assert idx.add_documents(docs) == 0
+
+    def test_save_load(self, tmp_path):
+        idx = DenseIndex(
+            embedder=Sha256Embedder(dim=64),
+            config=SMALL_CFG,
+            persist_directory=str(tmp_path),
+        )
+        idx.add_documents([Document(str(i), f"doc {i}") for i in range(20)])
+        idx.save()
+        idx2 = DenseIndex(
+            embedder=Sha256Embedder(dim=64),
+            config=SMALL_CFG,
+            persist_directory=str(tmp_path),
+        )
+        assert len(idx2) == 20
+        assert idx2.search("doc 5", 1)[0][0] == idx.search("doc 5", 1)[0][0]
+
+
+class TestHybridRetriever:
+    @pytest.fixture(scope="class")
+    def retriever(self):
+        corpus = make_synthetic_corpus(np.random.default_rng(3), 50)
+        r = HybridRetriever(
+            embedder=NgramHashEmbedder(dim=64, buckets=4096),
+            dense_config=SMALL_CFG,
+        )
+        r.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        return r
+
+    def test_hybrid_search_shape(self, retriever):
+        results = retriever.hybrid_search("w1 w2 the", top_k=10)
+        assert 0 < len(results) <= 10
+        # Sorted by hybrid score descending.
+        scores = [r.hybrid_score for r in results]
+        assert scores == sorted(scores, reverse=True)
+        # Fusion formula: mean of max-normalized columns, all <= 1.
+        assert all(0 <= s <= 1.0 + 1e-6 for s in scores)
+
+    def test_union_includes_both_retrievers(self, retriever):
+        bm25_top = {d for d, _ in retriever.bm25_search("w1 w2", top_k=5)}
+        results = retriever.hybrid_search("w1 w2", top_k=50, retrieval_pool_size=50)
+        got = {r.doc_id for r in results}
+        assert bm25_top & got  # bm25 hits present in the union pool
+
+    def test_get_scores_for_router_padding(self, retriever):
+        # Corpus has 50 docs, so asking for 60 passages forces tail padding.
+        bm25, dense, ids, texts = retriever.get_scores_for_router("w1", num_passages=60)
+        assert len(bm25) == len(dense) == len(ids) == len(texts) == 60
+        # Padded tail.
+        assert ids[-1] == "" and bm25[-1] == 0.0
+
+    def test_empty_retriever(self):
+        r = HybridRetriever(
+            embedder=Sha256Embedder(dim=64), dense_config=SMALL_CFG
+        )
+        assert r.hybrid_search("anything") == []
