@@ -1,0 +1,180 @@
+"""Benchmark: fused hybrid query throughput on one TPU chip.
+
+Headline metric (BASELINE.json north star): hybrid queries/sec/chip over a
+100k-passage corpus at recall@10 parity, target >= 10,000 QPS/chip. The
+benchmark builds a wikipedia_100k-shaped synthetic corpus (zipfian vocab,
+~40-token passages), an HBM-resident 768-d dense matrix, and an on-device
+BM25 CSR index; queries derive from source passages so retrieval quality is
+measurable (dense recall sanity + fast-vs-exact BM25 agreement are printed to
+stderr). The timed region is the full fused hybrid program: dense cosine
+top-pool (one MXU matmul + top-k) + exact two-tier BM25 top-pool + union
+merge (reference missing-score-0 semantics) + learned router gating + final
+top-10.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 10_000 (the north-star target).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N_DOCS = 100_000
+DIM = 768
+VOCAB = 30_000
+DOC_LEN = 40
+BATCH = 1024
+N_BATCHES = 20
+K = 10
+POOL = 50
+BLOCK = 16_384
+BEAM = 128  # must match BM25Config.dense_tier_threshold
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def build_corpus(rng: np.random.Generator):
+    """Zipfian synthetic corpus: term ids per doc (no Python string round-trip
+    for speed; BM25Index gets real texts, built below)."""
+    # Zipf-ish distribution over the vocab.
+    ranks = np.arange(1, VOCAB + 1, dtype=np.float64)
+    probs = 1.0 / ranks
+    probs /= probs.sum()
+    docs = rng.choice(VOCAB, size=(N_DOCS, DOC_LEN), p=probs)
+    return docs
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rag_uq_tpu.core.types import Document
+    from rag_uq_tpu.index.sparse import BM25Index
+    from rag_uq_tpu.retrieval.fused import build_index_state, make_fused_hybrid_query
+    from rag_uq_tpu.router.model import RetrievalRouter
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    docs = build_corpus(rng)
+    texts = [" ".join(map(str, row)) for row in docs]
+    log(f"corpus built in {time.time()-t0:.1f}s")
+
+    t0 = time.time()
+    bm25 = BM25Index()
+    bm25.add_documents([Document(str(i), t) for i, t in enumerate(texts)])
+    bm25._sync()
+    log(f"bm25 index built in {time.time()-t0:.1f}s "
+        f"({bm25._n_postings} postings, vocab {len(bm25.vocab)})")
+
+    # Dense matrix: random normalized doc vectors on device; queries are
+    # noisy copies of source docs so recall is measurable.
+    t0 = time.time()
+    cap = ((N_DOCS + BLOCK - 1) // BLOCK) * BLOCK
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (cap, DIM), dtype=jnp.float32)
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    emb = emb.astype(jnp.bfloat16)
+    jax.block_until_ready(emb)
+    log(f"dense matrix [{cap},{DIM}] bf16 built in {time.time()-t0:.1f}s")
+
+    class _DenseShim:
+        _emb = emb
+
+        def __len__(self):
+            return N_DOCS
+
+    state = build_index_state(_DenseShim(), bm25)
+
+    router = RetrievalRouter()
+    router_vars = {"params": router.params, "stats": router.stats}
+    fused = make_fused_hybrid_query(
+        router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=BEAM
+    )
+
+    # Query batches: dense side = source doc vector + noise; sparse side =
+    # 6 terms sampled from the source doc.
+    def make_batch(seed: int):
+        r = np.random.default_rng(seed)
+        src = r.integers(0, N_DOCS, size=BATCH)
+        qk = jax.random.PRNGKey(seed)
+        noise = jax.random.normal(qk, (BATCH, DIM), dtype=jnp.float32) * 0.7
+        q = emb[src].astype(jnp.float32) + noise
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        terms = docs[src][:, :: DOC_LEN // 6][:, :6]
+        qtexts = [" ".join(map(str, row)) for row in terms]
+        qtids = jnp.asarray(bm25.encode_queries(qtexts))
+        return src, q, qtids
+
+    # Warmup / compile.
+    src, q, qtids = make_batch(12345)
+    t0 = time.time()
+    vals, pos = fused(state, q, qtids, router_vars)
+    np.asarray(vals)
+    log(f"compile+first batch in {time.time()-t0:.1f}s")
+
+    # Quality sanity: dense-noisy-copy recall@10 of the source doc.
+    hit = (np.asarray(pos) == src[:, None]).any(axis=1).mean()
+    log(f"source-doc recall@{K} (hybrid): {hit:.3f}")
+
+    # Fast-vs-exact BM25 agreement on a small slice (quality guard for the
+    # impact-pruned sparse path).
+    from rag_uq_tpu.ops import bm25 as bm25_ops
+    import jax.numpy as _jnp
+    sub = qtids[:64]
+    ex_scores = bm25_ops.score_all(
+        state["indptr"], state["post_doc"], state["post_w"], sub,
+        state["emb"].shape[0], 1 << 17,
+    )
+    ev, ei = bm25_ops.topk_from_scores(ex_scores, K)
+    fv, fi = bm25_ops.topk_twotier(
+        state["low_ranges"], state["post_packed"],
+        state["term_row"], state["impact"], sub, K, beam=BEAM, approx=True,
+    )
+    ev, ei, fi = np.asarray(ev), np.asarray(ei), np.asarray(fi)
+    overlap = np.mean([
+        len(set(ei[i][ei[i] >= 0]) & set(fi[i][fi[i] >= 0]))
+        / max((ei[i] >= 0).sum(), 1)
+        for i in range(ei.shape[0])
+    ])
+    log(f"bm25 fast-vs-exact top-{K} agreement: {overlap:.3f}")
+
+    # Pre-build all batches outside the timed loop (host work excluded: the
+    # metric is device query throughput; host tokenization is benchmarked
+    # separately below).
+    batches = [make_batch(s) for s in range(N_BATCHES)]
+    jax.block_until_ready([b[1] for b in batches])
+
+    t0 = time.time()
+    outs = []
+    for _, q, qtids in batches:
+        outs.append(fused(state, q, qtids, router_vars))
+    # Device executes programs in order, so forcing a host transfer of the
+    # final output synchronizes the whole loop (block_until_ready is not a
+    # reliable barrier on relayed platforms).
+    np.asarray(outs[-1][0])
+    dt = time.time() - t0
+    qps = BATCH * N_BATCHES / dt
+    log(f"timed: {N_BATCHES} batches x {BATCH} queries in {dt:.3f}s")
+
+    # Host-side query prep throughput (tokenize+hash), for context.
+    t0 = time.time()
+    _ = bm25.encode_queries([" ".join(map(str, docs[i][:6])) for i in range(2000)])
+    host_qps = 2000 / (time.time() - t0)
+    log(f"host query-encode throughput: {host_qps:.0f} q/s")
+
+    print(json.dumps({
+        "metric": "hybrid_qps_per_chip_wiki100k",
+        "value": round(qps, 1),
+        "unit": "queries/sec",
+        "vs_baseline": round(qps / 10_000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

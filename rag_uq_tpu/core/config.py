@@ -38,6 +38,12 @@ class BM25Config:
     initial_postings_capacity: int = 262_144
     initial_vocab_capacity: int = 65_536
     max_query_terms: int = 32
+    # Two-tier scoring split: terms with df > threshold become rows of a
+    # dense [T, N] per-doc impact matrix (scored by one MXU matmul for all
+    # docs); terms with df <= threshold are scored from posting slices of
+    # length `threshold` (fully covered => exact).
+    dense_tier_threshold: int = 128
+    impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
 
 
 @dataclass

@@ -159,11 +159,6 @@ class BM25Index:
         denom = tf_s + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
         w_s = idf[tid_s] * tf_s * (self.k1 + 1.0) / np.maximum(denom, 1e-12)
 
-        # Impact-ordered candidate copy (descending w within each term).
-        cand_order = np.lexsort((-w_s, tid_s))
-        cand_doc = doc_s[cand_order]
-        cand_w = w_s[cand_order]
-
         pcap = _next_pow2(max(n_post, 1), floor=1024)
         vcap = _next_pow2(max(vsize, 1), floor=1024)
         ncap = _next_pow2(max(n_docs, 1), floor=1024)
@@ -181,20 +176,64 @@ class BM25Index:
         indptr_p = np.full(vcap + 1, n_post, dtype=np.int32)
         indptr_p[: vsize + 1] = indptr.astype(np.int32)
 
+        # Two-tier split (exact, scatter-free scoring; ops/bm25.topk_twotier):
+        # terms with df > threshold become rows of a dense [T, Ncap] per-doc
+        # impact matrix (scored for all docs by one MXU matmul); terms with
+        # df <= threshold are fully covered by posting slices of length
+        # `threshold`. indptr_low empties the dense-tier terms' ranges.
+        thresh = self.config.dense_tier_threshold
+        dense_terms = np.nonzero(df > thresh)[0]
+        t_dense = dense_terms.shape[0]
+        tcap = _next_pow2(max(t_dense, 1), floor=8)
+        term_row = np.full(vcap, -1, dtype=np.int32)
+        term_row[dense_terms] = np.arange(t_dense, dtype=np.int32)
+
+        impact = np.zeros((tcap, ncap), dtype=np.float32)
+        if n_post:
+            rows_of_post = term_row[tid_s]
+            m = rows_of_post >= 0
+            impact[rows_of_post[m], doc_s[m]] = w_s[m]
+        import ml_dtypes
+
+        impact = impact.astype(
+            ml_dtypes.bfloat16
+            if self.config.impact_dtype == "bfloat16"
+            else self.config.impact_dtype
+        )
+
+        # Explicit (start, end) ranges: a plain indptr cannot represent the
+        # emptied dense-tier ranges since end_i aliases start_{i+1}.
+        low_start = indptr_p[:-1].copy()
+        low_end = indptr_p[1:].copy()
+        is_dense_term = np.zeros(vcap, dtype=bool)
+        is_dense_term[dense_terms] = True
+        low_end[is_dense_term] = low_start[is_dense_term]
+        low_ranges = np.stack([low_start, low_end]).astype(np.int32)
+
+        # Packed low-tier postings: row 0 = doc position (int32), row 1 =
+        # impact weight bitcast to int32 — so the query kernel fetches each
+        # term's postings with ONE dynamic_slice (slice overhead dominates
+        # the low tier).
+        packed = np.zeros((2, pcap), dtype=np.int32)
+        packed[0, :n_post] = doc_s.astype(np.int32)
+        packed[1, :n_post] = w_s.astype(np.float32).view(np.int32)
+
         self._device = {
             "indptr": jnp.asarray(indptr_p),
             "post_doc": jnp.asarray(pad_i32(doc_s, pcap)),
             "post_w": jnp.asarray(pad_f32(w_s, pcap)),
-            "cand_indptr": jnp.asarray(indptr_p),
-            "cand_doc": jnp.asarray(pad_i32(cand_doc, pcap)),
-            "cand_w": jnp.asarray(pad_f32(cand_w, pcap)),
+            "low_ranges": jnp.asarray(low_ranges),
+            "post_packed": jnp.asarray(packed),
+            "term_row": jnp.asarray(term_row),
+            "impact": jnp.asarray(impact),
+            "beam": int(_next_pow2(thresh, floor=8)),
             "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
             "n_docs_cap": int(ncap),
         }
         self._dirty = False
         logger.info(
-            "Synced BM25 device index: %d docs, %d terms, %d postings",
-            n_docs, vsize, n_post,
+            "Synced BM25 device index: %d docs, %d terms (%d dense-tier), "
+            "%d postings", n_docs, vsize, t_dense, n_post,
         )
         return self._device
 
@@ -227,9 +266,14 @@ class BM25Index:
         queries: Sequence[str],
         top_k: int = 10,
         exact: bool = True,
-        beam: int = 1024,
+        approx: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Batched top-k: (scores [B, k], doc positions [B, k], -1 = dead)."""
+        """Batched top-k: (scores [B, k], doc positions [B, k], -1 = dead).
+
+        Both paths are exact BM25; `exact=True` uses the exhaustive
+        scatter-add oracle, `exact=False` the fast two-tier program (same
+        results up to impact-matrix storage-dtype rounding and ties).
+        """
         dev = self._sync()
         qtids = jnp.asarray(self.encode_queries(queries))
         if exact:
@@ -239,16 +283,16 @@ class BM25Index:
             )
             vals, idx = bm25_ops.topk_from_scores(scores, top_k)
         else:
-            vals, idx = bm25_ops.topk_twostage(
-                dev["indptr"], dev["post_doc"], dev["post_w"],
-                dev["cand_indptr"], dev["cand_doc"], dev["cand_w"],
-                qtids, top_k, beam=beam,
+            vals, idx = bm25_ops.topk_twotier(
+                dev["low_ranges"], dev["post_packed"],
+                dev["term_row"], dev["impact"],
+                qtids, top_k, beam=dev["beam"], approx=approx,
             )
-            # Apply the positive-scores-only contract.
             dead = np.asarray(vals) <= 0.0
-            vals = np.where(dead, 0.0, np.asarray(vals))
-            idx = np.where(dead, -1, np.asarray(idx))
-            return vals, idx
+            return (
+                np.where(dead, 0.0, np.asarray(vals)),
+                np.where(dead, -1, np.asarray(idx)),
+            )
         return np.asarray(vals), np.asarray(idx)
 
     def score_positions_batch(

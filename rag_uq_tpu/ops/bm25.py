@@ -16,9 +16,10 @@ sync, vectorized. Three query ops:
 - `score_docs`: exact scores for an arbitrary doc set via per-term binary
   search over the doc-sorted postings (no scatter; used to score the hybrid
   union pool for the router).
-- `topk_twostage`: impact-ordered candidate generation + sort/segment-sum +
-  exact rescore — the scatter-free hot path (exact whenever `beam` covers
-  each query term's posting list; tested against `score_all`).
+- `topk_twotier`: the scatter-free EXACT hot path — high-df terms scored for
+  every doc by one MXU matmul over a dense [T, N] impact matrix, low-df
+  terms fully covered by posting slices + segment-sum, merged top-k (tested
+  against `score_all`).
 
 Query term ids are padded with -1 (unknown/padding terms contribute 0,
 matching BM25Okapi's missing-term behavior); repeated query terms contribute
@@ -123,63 +124,122 @@ def score_docs(
     return jax.vmap(one_query)(qtids, doc_positions)
 
 
-@partial(jax.jit, static_argnames=("k", "beam", "rescore"))
-def topk_twostage(
-    indptr: jax.Array,
-    post_doc: jax.Array,
-    post_w: jax.Array,
-    cand_indptr: jax.Array,
-    cand_doc: jax.Array,  # impact-ordered within each term
-    cand_w: jax.Array,
+def _low_tier_segsum(
+    low_ranges: jax.Array,  # [2, Vcap] explicit (start, end) per term
+    post_packed: jax.Array,  # [2, Pcap] int32: (doc, bitcast f32 weight)
+    tids: jax.Array,  # [Lq]
+    beam: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query low-tier contributions grouped by doc.
+
+    Fetches each low-tier query term's full posting list (length <= beam by
+    construction) with one dynamic_slice of the packed (doc, weight) array,
+    sorts the Lq*beam pool by doc, and segment-sums runs via cumsum deltas.
+    Returns (docs [Lq*beam], sums [Lq*beam]); non-run-last slots have doc -1
+    and sum -inf.
+    """
+    pcap = post_packed.shape[1]
+    valid = tids >= 0
+    safe = jnp.where(valid, tids, 0)
+    start = jnp.where(valid, low_ranges[0, safe], 0)
+    end = jnp.where(valid, low_ranges[1, safe], 0)
+    safe_start = jnp.minimum(start, max(pcap - beam, 0))
+
+    sl = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(post_packed, (0, s), (2, beam))
+    )(safe_start)  # [Lq, 2, beam]
+    docs = sl[:, 0, :]
+    w = jax.lax.bitcast_convert_type(sl[:, 1, :], jnp.float32)
+    off = jnp.arange(beam, dtype=jnp.int32)[None, :]
+    pos = safe_start[:, None] + off
+    ok = (pos >= start[:, None]) & (pos < end[:, None])
+    docs = jnp.where(ok, docs, _DOC_SENTINEL).reshape(-1)
+    w = jnp.where(ok, w, 0.0).reshape(-1)
+
+    order = jnp.argsort(docs)
+    docs = docs[order]
+    w = w[order]
+    cs = jnp.cumsum(w)
+    prev = jnp.concatenate([jnp.array([-1], dtype=docs.dtype), docs[:-1]])
+    nxt = jnp.concatenate([docs[1:], jnp.array([_DOC_SENTINEL], dtype=docs.dtype)])
+    is_first = docs != prev
+    is_last = docs != nxt
+    base = jax.lax.cummax(jnp.where(is_first, cs - w, -jnp.inf))
+    run_total = cs - jnp.maximum(base, 0.0)
+    valid = is_last & (docs != _DOC_SENTINEL)
+    return (
+        jnp.where(valid, docs, -1),
+        jnp.where(valid, run_total, -jnp.inf),
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "beam", "approx"))
+def topk_twotier(
+    low_ranges: jax.Array,  # [2, Vcap] (start, end), emptied for dense tier
+    post_packed: jax.Array,  # [2, Pcap] packed (doc, bitcast weight)
+    term_row: jax.Array,  # [Vcap] -> dense-tier row id or -1
+    impact: jax.Array,  # [T_cap, Ncap] per-doc impacts of dense-tier terms
     qtids: jax.Array,  # [B, Lq]
     k: int,
-    beam: int = 1024,
-    rescore: int = 0,  # 0 => 4 * k
+    beam: int,
+    approx: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter-free BM25 top-k: impact candidates -> segment-sum -> exact rescore.
+    """EXACT BM25 top-k via two-tier scoring, scatter-free.
 
-    Returns (scores [B, k] float32, doc positions [B, k] int32, -1 for dead
-    slots). Exact whenever every query term's full posting list fits in
-    `beam`; otherwise candidate generation is impact-truncated (rescoring of
-    surviving candidates is always exact).
+    High-df terms (df > beam) contribute through one MXU matmul: a query
+    one-hot over dense-tier rows times the [T, N] impact matrix gives their
+    contribution H for every doc. Low-df terms (df <= beam) are fully covered
+    by posting slices and segment-summed per doc (L). The global top-k of
+    H + L is a subset of top-k(H) ∪ docs(L), so merging top-k(H) with the
+    L-candidates' H-augmented totals is exact (up to the impact matrix's
+    storage dtype rounding). Returns (scores [B, k], doc positions [B, k]);
+    callers apply the positive-scores-only contract.
+
+    `approx=True` replaces the exact top-k over the H matrix with the TPU
+    PartialReduce-based approx_max_k (~0.95 recall on that branch only —
+    returned scores stay exact); exact top_k over [B, N] is ~20x slower on
+    current XLA, so the hot path uses approx and parity tests use exact.
     """
-    n_rescore = rescore or 4 * k
-    ccap = cand_doc.shape[0]
-    off = jnp.arange(beam, dtype=jnp.int32)
+    ncap = impact.shape[1]
+    tcap = impact.shape[0]
+    valid_q = qtids >= 0
+    safe_q = jnp.where(valid_q, qtids, 0)
+    rows = jnp.where(valid_q, term_row[safe_q], -1)  # [B, Lq]
 
-    def gen_one(tids: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        start, end = _term_ranges(cand_indptr, tids)  # [Lq]
-        idx = jnp.clip(start[:, None] + off[None, :], 0, ccap - 1)
-        ok = off[None, :] < (end - start)[:, None]
-        docs = jnp.where(ok, cand_doc[idx], _DOC_SENTINEL).reshape(-1)
-        w = jnp.where(ok, cand_w[idx], 0.0).reshape(-1)
+    # High tier: one-hot (counting repeated query terms) x impact matrix.
+    onehot = jnp.sum(
+        jax.nn.one_hot(rows, tcap, dtype=impact.dtype), axis=1
+    )  # [B, T]
+    high = jnp.dot(onehot, impact, preferred_element_type=jnp.float32)  # [B, N]
 
-        # Group contributions by doc: sort, then run-sum via cumsum deltas.
-        order = jnp.argsort(docs)
-        docs = docs[order]
-        w = w[order]
-        cs = jnp.cumsum(w)
-        prev = jnp.concatenate([jnp.array([-1], dtype=docs.dtype), docs[:-1]])
-        nxt = jnp.concatenate([docs[1:], jnp.array([_DOC_SENTINEL], dtype=docs.dtype)])
-        is_first = docs != prev
-        is_last = docs != nxt
-        # cs value just before the current run starts, carried across the run.
-        base = jax.lax.cummax(jnp.where(is_first, cs - w, -jnp.inf))
-        run_total = cs - jnp.maximum(base, 0.0)
-        valid = is_last & (docs != _DOC_SENTINEL)
-        part = jnp.where(valid, run_total, -jnp.inf)
-        pv, sel = jax.lax.top_k(part, n_rescore)
-        pd = jnp.where(jnp.isneginf(pv), -1, docs[sel])
-        return pd, pv
+    # Low tier: per-query segment sums.
+    ldocs, lsums = jax.vmap(
+        lambda t: _low_tier_segsum(low_ranges, post_packed, t, beam)
+    )(qtids)  # [B, Lq*beam]
 
-    cand_positions, _ = jax.vmap(gen_one)(qtids)  # [B, n_rescore]
-    exact = score_docs(indptr, post_doc, post_w, qtids, cand_positions)
-    exact = jnp.where(cand_positions >= 0, exact, -jnp.inf)
-    vals, sel = jax.lax.top_k(exact, k)
-    docs = jnp.take_along_axis(cand_positions, sel, axis=-1)
+    lgather = jnp.take_along_axis(
+        high, jnp.clip(ldocs, 0, ncap - 1).astype(jnp.int32), axis=-1
+    )
+    ltot = jnp.where(ldocs >= 0, lsums + lgather, -jnp.inf)
+
+    if approx:
+        hv, hi = jax.lax.approx_max_k(high, k)
+        hi = hi.astype(jnp.int32)
+    else:
+        hv, hi = jax.lax.top_k(high, k)
+    # Drop H-only entries that are superseded by an L-augmented total.
+    dup = jnp.any(
+        hi[:, :, None] == jnp.where(ldocs >= 0, ldocs, -7)[:, None, :], axis=-1
+    )
+    hv = jnp.where(dup, -jnp.inf, hv)
+
+    cat_v = jnp.concatenate([hv, ltot], axis=-1)
+    cat_i = jnp.concatenate([hi, ldocs], axis=-1)
+    vals, sel = jax.lax.top_k(cat_v, k)
+    docs = jnp.take_along_axis(cat_i, sel, axis=-1)
     docs = jnp.where(jnp.isneginf(vals), -1, docs)
     vals = jnp.where(jnp.isneginf(vals), 0.0, vals)
-    return vals, docs
+    return vals, docs.astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("k",))

@@ -79,6 +79,35 @@ def cosine_topk(
     return vals, idx
 
 
+@partial(jax.jit, static_argnames=("k", "approx"))
+def cosine_topk_single(
+    emb: jax.Array,
+    queries: jax.Array,
+    size: jax.Array,
+    k: int,
+    approx: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-shot top-k: one [B, cap] matmul then (approx_)top_k.
+
+    Fastest path when the [B, cap] f32 intermediate fits in HBM (cap*B*4
+    bytes); `approx=True` uses the TPU PartialReduce-based approx_max_k
+    (defaults to 0.95 per-op recall) for the candidate pool — appropriate
+    when results feed a downstream merge/rescore.
+    """
+    cap = emb.shape[0]
+    col = jnp.arange(cap, dtype=jnp.int32)
+    scores = jnp.dot(
+        queries.astype(emb.dtype), emb.T, preferred_element_type=jnp.float32
+    )
+    scores = jnp.where(col[None, :] < size, scores, -jnp.inf)
+    if approx:
+        vals, idx = jax.lax.approx_max_k(scores, k)
+    else:
+        vals, idx = jax.lax.top_k(scores, k)
+    idx = jnp.where(jnp.isneginf(vals), -1, idx)
+    return vals, idx.astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("k",))
 def merge_topk(
     vals_a: jax.Array,

@@ -1,0 +1,163 @@
+"""Fused on-device hybrid query: one XLA program from query vectors to top-k.
+
+This is the framework's hot path (the reference walks streaming_index.py
+hybrid_search -> router.forward -> torch.topk across Python/HTTP boundaries,
+SURVEY.md §3.2). One jit-compiled program does:
+
+    dense top-pool      one [B, N] cosine matmul (MXU) + top-k
+    sparse top-pool     impact-ordered BM25 candidates, sort-light segment sum
+    union merge         equality-matrix join of the two pools (no sort,
+                        no gather); missing scores are 0.0, the reference's
+                        union semantics (streaming_index.py:498-499)
+    fusion              learned router gating (router.py:199) or the
+                        reference's fixed mean-of-max-normalized fusion
+                        (streaming_index.py:510-521)
+    final top-k
+
+Gather- and scatter-free by construction: per-query work is a matmul row,
+contiguous posting slices, small sorts (<= prune), and elementwise math —
+the shapes TPUs like. Exact variants of both pools exist for parity tests
+(exact_bm25 / dense streaming top-k).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rag_uq_tpu.ops import bm25 as bm25_ops
+from rag_uq_tpu.ops.topk import cosine_topk, cosine_topk_single
+
+_INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+def union_dedup(positions: jax.Array) -> jax.Array:
+    """Sort-based on-device dedup of doc positions; dups/dead become -1."""
+    mapped = jnp.where(positions >= 0, positions, _INT_MAX)
+    s = jnp.sort(mapped, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full(s.shape[:-1] + (1,), -1, dtype=s.dtype), s[..., :-1]], axis=-1
+    )
+    keep = (s != prev) & (s != _INT_MAX)
+    return jnp.where(keep, s, -1)
+
+
+def merge_pools(
+    bvals: jax.Array,  # [B, Pb] BM25 pool scores
+    bidx: jax.Array,  # [B, Pb] doc positions (-1 dead)
+    dvals: jax.Array,  # [B, Pd] dense pool scores
+    didx: jax.Array,  # [B, Pd]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Union the two pools with aligned per-doc score columns.
+
+    Docs in both pools collapse onto the dense entry, which receives the BM25
+    score; scores missing from a pool are 0.0 (reference union semantics).
+    Pure elementwise/einsum — no sort, no gather. Returns
+    (positions [B, Pb+Pd], bm25_col, dense_col).
+    """
+    live_d = didx >= 0
+    live_b = bidx >= 0
+    eq = (didx[:, :, None] == bidx[:, None, :]) & live_d[:, :, None] & live_b[:, None, :]
+    bm25_for_dense = jnp.einsum("bij,bj->bi", eq.astype(bvals.dtype), bvals)
+    b_is_dup = jnp.any(eq, axis=1)  # [B, Pb]
+
+    positions = jnp.concatenate([didx, jnp.where(b_is_dup, -1, bidx)], axis=-1)
+    dense_col = jnp.concatenate(
+        [jnp.where(live_d, dvals, 0.0), jnp.zeros_like(bvals)], axis=-1
+    )
+    bm25_col = jnp.concatenate(
+        [bm25_for_dense, jnp.where(b_is_dup | ~live_b, 0.0, bvals)], axis=-1
+    )
+    return positions, bm25_col, dense_col
+
+
+def make_fused_hybrid_query(
+    router_module=None,
+    k: int = 10,
+    pool: int = 50,
+    block: int = 8192,
+    beam: int = 128,
+    approx_topk: bool = True,
+    exact_bm25: bool = False,
+    dense_mode: str = "single",  # "single" | "single_approx" | "stream"
+    max_df: int = 1 << 16,
+):
+    """Build the jitted fused query fn.
+
+    Returns fn(index_state, q_vecs, qtids, router_vars) ->
+    (scores [B, k], positions [B, k]) where `index_state` is the dict from
+    `build_index_state` and `router_vars` is {"params", "stats"} or None for
+    the reference's fixed-weight fusion.
+    """
+
+    @partial(jax.jit, static_argnames=())
+    def fused(state: Dict[str, Any], q_vecs, qtids, router_vars=None):
+        emb = state["emb"]
+        size = state["size"]
+
+        if dense_mode == "stream":
+            dvals, didx = cosine_topk(emb, q_vecs, size, pool, block)
+        else:
+            dvals, didx = cosine_topk_single(
+                emb, q_vecs, size, pool, approx=(dense_mode == "single_approx")
+            )
+        dvals = jnp.where(didx >= 0, dvals, 0.0)
+
+        if exact_bm25:
+            all_scores = bm25_ops.score_all(
+                state["indptr"], state["post_doc"], state["post_w"],
+                qtids, emb.shape[0], max_df,
+            )
+            bvals, bidx = bm25_ops.topk_from_scores(all_scores, pool)
+        else:
+            bvals, bidx = bm25_ops.topk_twotier(
+                state["low_ranges"], state["post_packed"],
+                state["term_row"], state["impact"],
+                qtids, pool, beam=beam, approx=approx_topk,
+            )
+            dead = bvals <= 0.0
+            bvals = jnp.where(dead, 0.0, bvals)
+            bidx = jnp.where(dead, -1, bidx)
+
+        positions, bm25_scores, dense_scores = merge_pools(bvals, bidx, dvals, didx)
+        live = positions >= 0
+
+        if router_module is not None and router_vars is not None:
+            weights = router_module.apply(
+                router_vars, bm25_scores, dense_scores,
+                update_stats=False, train=False,
+            )
+            hybrid = weights * dense_scores + (1.0 - weights) * bm25_scores
+        else:
+            # Reference fixed fusion: mean of per-query max-normalized scores.
+            max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
+            max_d = jnp.maximum(jnp.max(dense_scores, axis=-1, keepdims=True), 1e-12)
+            hybrid = (bm25_scores / max_b + dense_scores / max_d) / 2.0
+
+        hybrid = jnp.where(live, hybrid, -jnp.inf)
+        vals, sel = jax.lax.top_k(hybrid, k)
+        out_pos = jnp.take_along_axis(positions, sel, axis=-1)
+        out_pos = jnp.where(jnp.isneginf(vals), -1, out_pos)
+        vals = jnp.where(jnp.isneginf(vals), 0.0, vals)
+        return vals, out_pos
+
+    return fused
+
+
+def build_index_state(dense_index, bm25_index) -> Dict[str, Any]:
+    """Collect device arrays from the two indices into one state dict."""
+    dev = bm25_index._sync()
+    return {
+        "emb": dense_index._emb,
+        "size": jnp.int32(len(dense_index)),
+        "indptr": dev["indptr"],
+        "post_doc": dev["post_doc"],
+        "post_w": dev["post_w"],
+        "low_ranges": dev["low_ranges"],
+        "post_packed": dev["post_packed"],
+        "term_row": dev["term_row"],
+        "impact": dev["impact"],
+    }

@@ -80,7 +80,6 @@ class HybridRetriever:
         queries: Sequence[str],
         pool_size: int = 50,
         exact_bm25: bool = True,
-        beam: int = 1024,
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Union-pool doc positions + aligned raw scores for a query batch.
 
@@ -92,7 +91,7 @@ class HybridRetriever:
         n = len(self.documents)
         pool = min(pool_size, max(n, 1))
         b_scores, b_pos = self.bm25_index.search_batch(
-            queries, top_k=pool, exact=exact_bm25, beam=beam
+            queries, top_k=pool, exact=exact_bm25
         )
         d_scores, d_pos = self.dense_index.search_batch(queries, top_k=pool)
 

@@ -65,14 +65,25 @@ class TestSearch:
         idx = BM25Index()
         assert idx.search("anything") == []
 
-    def test_twostage_matches_exact_with_full_beam(self, corpus, index):
-        queries = ["w1 w2 the", "w10 w3", "the is"]
+    def test_twotier_matches_exact(self, corpus, index):
+        queries = ["w1 w2 the", "w10 w3", "the is", "w5 w5 unknownterm"]
         exact_v, exact_i = index.search_batch(queries, top_k=5, exact=True)
-        fast_v, fast_i = index.search_batch(
-            queries, top_k=5, exact=False, beam=128
-        )  # beam >= max df for this corpus size
+        fast_v, fast_i = index.search_batch(queries, top_k=5, exact=False)
         live = exact_v > 0
-        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=1e-4)
+        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=2e-2)
+        np.testing.assert_array_equal(fast_i[live], exact_i[live])
+
+    def test_twotier_exact_with_f32_impacts(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=8))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        queries = ["w1 w2 the", "the is a", "w10"]
+        exact_v, exact_i = idx.search_batch(queries, top_k=5, exact=True)
+        fast_v, fast_i = idx.search_batch(queries, top_k=5, exact=False)
+        live = exact_v > 0
+        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=1e-5)
         np.testing.assert_array_equal(fast_i[live], exact_i[live])
 
     def test_score_positions_exact(self, corpus, index):

@@ -1,0 +1,112 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh.
+
+Validates that corpus-sharded search (per-shard top-k + ICI merge) is
+bit-identical to the single-chip path — the distributed-correctness contract
+(SURVEY.md §7 hard part 5: deterministic tie-breaks and global-id mapping).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_uq_tpu.core.mesh import make_mesh
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.index.sparse import BM25Index
+from rag_uq_tpu.ops.topk import cosine_topk
+from rag_uq_tpu.parallel.sharding import (
+    make_sharded_bm25_topk,
+    make_sharded_dense_topk,
+    shard_bm25_state,
+    shard_corpus_matrix,
+)
+
+from tests.oracles import make_synthetic_corpus
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+class TestShardedDense:
+    def test_matches_single_chip(self, rng):
+        mesh = make_mesh(8)
+        cap, dim, k = 1024, 64, 10
+        emb = rng.normal(size=(cap, dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.normal(size=(5, dim)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        size = 900
+
+        single_v, single_i = cosine_topk(
+            jnp.asarray(emb), jnp.asarray(q), jnp.int32(size), k, block=128
+        )
+        sharded = make_sharded_dense_topk(mesh, k=k, block=128)
+        emb_sharded = shard_corpus_matrix(jnp.asarray(emb), mesh)
+        sv, si = sharded(emb_sharded, jnp.asarray(q), jnp.int32(size))
+
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(single_i))
+        np.testing.assert_allclose(np.asarray(sv), np.asarray(single_v), rtol=1e-6)
+
+    def test_partial_shard_occupancy(self, rng):
+        """Live rows end mid-shard; dead shards must contribute nothing."""
+        mesh = make_mesh(8)
+        cap, dim, k = 1024, 32, 5
+        emb = rng.normal(size=(cap, dim)).astype(np.float32)
+        q = rng.normal(size=(2, dim)).astype(np.float32)
+        size = 200  # spans less than 2 of 8 shards
+
+        single_v, single_i = cosine_topk(
+            jnp.asarray(emb), jnp.asarray(q), jnp.int32(size), k, block=128
+        )
+        sharded = make_sharded_dense_topk(mesh, k=k, block=128)
+        sv, si = sharded(
+            shard_corpus_matrix(jnp.asarray(emb), mesh),
+            jnp.asarray(q),
+            jnp.int32(size),
+        )
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(single_i))
+
+
+class TestShardedBM25:
+    def test_matches_single_chip(self):
+        mesh = make_mesh(8)
+        corpus = make_synthetic_corpus(np.random.default_rng(7), 100)
+        idx = BM25Index()
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        dev = idx._sync()
+
+        queries = ["w1 w2 the", "w10 w3", "the is a"]
+        qtids = jnp.asarray(idx.encode_queries(queries))
+
+        # Single chip exhaustive.
+        from rag_uq_tpu.ops import bm25 as bm25_ops
+
+        scores = bm25_ops.score_all(
+            dev["indptr"], dev["post_doc"], dev["post_w"],
+            qtids, dev["n_docs_cap"], dev["max_df"],
+        )
+        sv, si = bm25_ops.topk_from_scores(scores, 10)
+
+        # Sharded: 8 shards over the (padded) doc capacity.
+        n_docs_cap = dev["n_docs_cap"]
+        state = {
+            "indptr": dev["indptr"],
+            "post_doc": dev["post_doc"],
+            "post_w": dev["post_w"],
+            "docs_per_shard": n_docs_cap // 8,
+        }
+        sharded_state = shard_bm25_state(state, mesh)
+        fn = make_sharded_bm25_topk(mesh, k=10, max_df=dev["max_df"],
+                                    n_docs_cap=n_docs_cap)
+        mv, mi = fn(
+            sharded_state["indptr"],
+            sharded_state["post_doc"],
+            sharded_state["post_w"],
+            qtids,
+        )
+        live = np.asarray(sv) > 0
+        np.testing.assert_allclose(
+            np.asarray(mv)[live], np.asarray(sv)[live], rtol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(mi)[live], np.asarray(si)[live])
