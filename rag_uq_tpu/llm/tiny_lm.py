@@ -53,8 +53,9 @@ class DecoderModel(nn.Module):
         x = x + nn.Embed(cfg.max_total_len, cfg.dim, dtype=dtype)(pos)
         for _ in range(cfg.num_layers):
             h = nn.LayerNorm(dtype=dtype)(x)
-            h = nn.SelfAttention(
-                num_heads=cfg.num_heads, dtype=dtype, decode=True, deterministic=True
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=cfg.num_heads, dtype=dtype, decode=True,
+                deterministic=True,
             )(h)
             x = x + h
             h = nn.LayerNorm(dtype=dtype)(x)

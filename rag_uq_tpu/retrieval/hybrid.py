@@ -116,6 +116,59 @@ class HybridRetriever:
         dense[dead] = 0.0
         return positions, bm25, dense
 
+    # -- fused batched hot path ---------------------------------------------------
+
+    def _fused_state(self):
+        key = (len(self.dense_index), self.bm25_index._n_postings)
+        if getattr(self, "_fused_cache_key", None) != key:
+            from rag_uq_tpu.retrieval.fused import build_index_state
+
+            self._fused_state_cache = build_index_state(
+                self.dense_index, self.bm25_index
+            )
+            self._fused_cache_key = key
+        return self._fused_state_cache
+
+    def hybrid_search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        retrieval_pool_size: int = 50,
+        router=None,
+        approx: bool = True,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched hybrid search through the fused one-program device path.
+
+        Returns (scores [B, k], doc positions [B, k]); -1 marks dead slots.
+        `router` is an optional RetrievalRouter whose gate replaces the fixed
+        mean-of-max-normalized fusion. `approx=False` uses exact top-k on
+        every branch (slower; bit-comparable to `hybrid_search`).
+        """
+        from rag_uq_tpu.retrieval.fused import make_fused_hybrid_query
+
+        state = self._fused_state()
+        beam = self.bm25_index._sync()["beam"]
+        pool = min(retrieval_pool_size, max(len(self.documents), 1))
+        fused = make_fused_hybrid_query(
+            router_module=router.module if router is not None else None,
+            k=min(top_k, 2 * pool),
+            pool=pool,
+            beam=beam,
+            approx_topk=approx,
+            dense_mode="single",
+        )
+        q_vecs = self.dense_index.embed_queries(queries)
+        qtids = self.bm25_index.encode_queries(queries)
+        router_vars = (
+            {"params": router.params, "stats": router.stats}
+            if router is not None
+            else None
+        )
+        import jax.numpy as jnp
+
+        vals, pos = fused(state, q_vecs, jnp.asarray(qtids), router_vars)
+        return np.asarray(vals), np.asarray(pos)
+
     # -- hybrid search (parity :464-523) -----------------------------------------
 
     def hybrid_search(

@@ -1,0 +1,173 @@
+"""UQ tests: MC sampling confidence, conformal prediction, hybrid composition.
+
+Mirrors the reference's test coverage (tests/test_confidence.py) with the
+MockLLM double and tmpdir SQLite isolation, plus on-device quantile checks.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rag_uq_tpu.llm.mock import MockLLM
+from rag_uq_tpu.uq.conformal import (
+    ConformalRAG,
+    conformal_p_value_device,
+    conformal_threshold_device,
+)
+from rag_uq_tpu.uq.hybrid import HybridConfidence
+from rag_uq_tpu.uq.mc import MCDropoutConfidence
+
+
+@pytest.fixture
+def db_path(tmp_path):
+    return str(tmp_path / "cal.db")
+
+
+class TestMCDropout:
+    def test_parameter_ranges(self):
+        mc = MCDropoutConfidence(MockLLM(), n_samples=5, seed=0)
+        for _ in range(20):
+            p = mc._sample_parameters()
+            assert 0.5 <= p["temperature"] <= 1.2
+            assert 0.8 <= p["top_p"] <= 0.95
+
+    def test_consistent_answers_high_confidence(self):
+        llm = MockLLM(["Paris is the capital."])
+        mc = MCDropoutConfidence(llm, n_samples=10, seed=0)
+        result = mc.get_confidence_interval("Answer.", "ctx", "capital?")
+        assert len(result.answers) == 10
+        assert result.consensus_answer == "Paris is the capital."
+        assert result.embedding_variance == pytest.approx(0.0, abs=1e-5)
+        assert result.confidence == pytest.approx(1.0, abs=1e-3)
+
+    def test_diverse_answers_lower_confidence(self):
+        consistent = MCDropoutConfidence(
+            MockLLM(["same answer"]), n_samples=8, seed=0
+        ).get_confidence_interval("p", "c", "q")
+        diverse = MCDropoutConfidence(
+            MockLLM(["alpha beta", "gamma delta", "epsilon zeta", "eta theta"]),
+            n_samples=8, seed=0,
+        ).get_confidence_interval("p", "c", "q")
+        assert diverse.confidence < consistent.confidence
+        assert diverse.consensus_answer in diverse.answers
+
+    def test_lexical_diversity_ordering(self):
+        mc = MCDropoutConfidence(MockLLM(), n_samples=2, seed=0)
+        low = mc._compute_lexical_diversity(["a a a a", "a a a a"])
+        high = mc._compute_lexical_diversity(["a b c d", "e f g h"])
+        assert high > low
+
+    def test_empty_answers_graceful(self):
+        result = MCDropoutConfidence(
+            MockLLM([""]), n_samples=3, seed=0
+        ).get_confidence_interval("p", "c", "q")
+        assert result.consensus_answer == ""
+        assert result.confidence == 0.0
+        assert result.uncertainty_score == 1.0
+
+    def test_batched_generation_used(self):
+        llm = MockLLM(["x"])
+        MCDropoutConfidence(llm, n_samples=7, seed=0).get_confidence_interval(
+            "p", "c", "q"
+        )
+        assert llm.call_count == 7  # MockLLM counts per-sample in the batch
+
+
+class TestConformal:
+    def test_rouge_l_extremes(self, db_path):
+        conf = ConformalRAG(MockLLM(), calibration_db_path=db_path)
+        assert conf.rouge_l("exact match", "exact match") == pytest.approx(1.0)
+        assert conf.rouge_l("zebra", "apple") == 0.0
+        assert 0 < conf.rouge_l("partial match here", "partial overlap here") < 1
+
+    def test_calibrate_writes_scores(self, db_path):
+        conf = ConformalRAG(MockLLM(["Paris."]), calibration_db_path=db_path)
+        stats = conf.calibrate(["q1", "q2"], ["c1", "c2"], ["Paris.", "London"])
+        assert stats["new_calibrated"] == 2
+        assert len(conf.calibration_scores) == 2
+        # Exact match -> nonconformity 0; mismatch -> 1.
+        assert min(conf.calibration_scores) == pytest.approx(0.0)
+        assert max(conf.calibration_scores) == pytest.approx(1.0)
+
+    def test_skip_existing_resume(self, db_path):
+        conf = ConformalRAG(MockLLM(["a"]), calibration_db_path=db_path)
+        conf.calibrate(["q"], ["c"], ["a"])
+        stats = conf.calibrate(["q"], ["c"], ["a"])
+        assert stats["skipped"] == 1
+        assert stats["new_calibrated"] == 0
+
+    def test_threshold_finite_sample_quantile(self, db_path):
+        conf = ConformalRAG(MockLLM(), calibration_db_path=db_path, alpha=0.1)
+        scores = np.linspace(0, 1, 100)
+        conf.calibration_scores = scores.tolist()
+        conf._scores_device = jnp.asarray(scores.astype(np.float32))
+        # q_level = ceil(101*0.9)/100 = 0.91
+        expected = np.quantile(scores, 0.91)
+        assert conf.get_conformal_threshold() == pytest.approx(expected, abs=1e-5)
+
+    def test_device_p_value(self):
+        scores = jnp.asarray(np.linspace(0, 1, 99).astype(np.float32))
+        # estimated = 0.5 -> 50 of 99 scores >= 0.5 -> p = 51/100
+        p = float(conformal_p_value_device(scores, jnp.float32(0.5)))
+        assert p == pytest.approx(0.51, abs=0.011)
+
+    def test_predict_with_coverage_invariants(self, db_path):
+        llm = MockLLM(["short answer here"])
+        conf = ConformalRAG(llm, calibration_db_path=db_path, alpha=0.1)
+        conf.calibrate([f"q{i}" for i in range(20)], ["ctx"] * 20, ["short answer here"] * 20)
+        result = conf.predict_with_coverage("q new", "some context words " * 5)
+        assert 0 <= result.p_value <= 1
+        assert 0 <= result.confidence <= 1
+        assert isinstance(result.is_reliable, bool)
+        assert result.coverage_alpha == 0.1
+        assert result.metadata["calibration_size"] == 20
+
+    def test_no_calibration_fallback(self, db_path):
+        result = ConformalRAG(
+            MockLLM(["x"]), calibration_db_path=db_path
+        ).predict_with_coverage("q", "c")
+        assert result.p_value == 0.5
+        assert not result.is_reliable
+
+    def test_stats(self, db_path):
+        conf = ConformalRAG(MockLLM(["a"]), calibration_db_path=db_path)
+        assert conf.get_calibration_stats() == {"empty": True}
+        conf.calibrate(["q1", "q2"], ["c1", "c2"], ["a", "b"])
+        stats = conf.get_calibration_stats()
+        assert stats["count"] == 2
+        assert "threshold" in stats and "median" in stats
+
+    def test_coverage_guarantee_empirical(self, db_path):
+        """Split conformal coverage on synthetic exchangeable scores:
+        empirical coverage must be >= 1 - alpha (up to sampling noise)."""
+        rng = np.random.default_rng(0)
+        cal = rng.uniform(size=500).astype(np.float32)
+        test = rng.uniform(size=2000)
+        conf = ConformalRAG(MockLLM(), calibration_db_path=db_path, alpha=0.1)
+        conf.calibration_scores = cal.tolist()
+        conf._scores_device = jnp.asarray(cal)
+        thresh = conf.get_conformal_threshold()
+        coverage = float(np.mean(test <= thresh))
+        assert coverage >= 0.9 - 0.02
+
+
+class TestHybridConfidence:
+    def test_composition(self, db_path):
+        llm = MockLLM(["Paris.", "It is Paris.", "paris"])
+        hybrid = HybridConfidence(
+            llm, mc_samples=3, calibration_db_path=db_path
+        )
+        hybrid.conformal.calibrate(
+            [f"q{i}" for i in range(10)], ["c"] * 10, ["Paris."] * 10
+        )
+        out = hybrid.estimate_uncertainty("Answer.", "Paris is the capital.",
+                                          "What is the capital?")
+        assert set(out) >= {
+            "answer", "answer_source", "combined_confidence",
+            "mc_confidence", "conformal_p_value", "is_reliable", "mc_answers",
+        }
+        assert out["answer_source"] in ("conformal", "mc_consensus")
+        assert out["combined_confidence"] == pytest.approx(
+            (out["mc_confidence"] + out["conformal_confidence"]) / 2
+        )
