@@ -46,6 +46,7 @@ class BM25Index:
         k1: float = 1.5,
         b: float = 0.75,
         config: Optional[BM25Config] = None,
+        use_native: str = "auto",  # "auto" | "always" | "never"
     ):
         self.config = config or BM25Config(k1=k1, b=b)
         self.k1 = self.config.k1
@@ -55,6 +56,22 @@ class BM25Index:
         self.vocab = Vocab()
         self.store = DocStore()
         self.doc_lens: List[int] = []
+
+        # Native C++ tokenize/count path (rag_uq_tpu.native). The Python
+        # vocabulary stays mirrored in id order so both paths interoperate.
+        self._native = None
+        if use_native in ("auto", "always"):
+            try:
+                from rag_uq_tpu.native import NativeTokenizer, is_available
+
+                if is_available():
+                    self._native = NativeTokenizer()
+                elif use_native == "always":
+                    raise RuntimeError("native tokenizer unavailable")
+            except Exception:
+                if use_native == "always":
+                    raise
+                self._native = None
 
         # Flat append-only posting buffers (host).
         cap = self.config.initial_postings_capacity
@@ -87,13 +104,30 @@ class BM25Index:
 
     def add_documents(self, documents: Sequence[Document]) -> int:
         """Add new documents (dedup by id). Returns number added."""
+        fresh = [doc for doc in documents if doc.id not in self.store]
+        if not fresh:
+            if self.persist_path:
+                self._save()
+            return 0
+
+        if self._native is not None:
+            self._add_documents_native(fresh)
+        else:
+            self._add_documents_python(fresh)
+
+        self._dirty = True
+        logger.info(
+            "Added %d documents to BM25 index. Total: %d", len(fresh), len(self)
+        )
+        if self.persist_path:
+            self._save()
+        return len(fresh)
+
+    def _add_documents_python(self, fresh: Sequence[Document]) -> None:
         new_tids: List[int] = []
         new_docs: List[int] = []
         new_tfs: List[int] = []
-        new_count = 0
-        for doc in documents:
-            if doc.id in self.store:
-                continue
+        for doc in fresh:
             pos = self.store.append(doc)
             toks = tokenize(doc.text)
             self.doc_lens.append(len(toks))
@@ -105,23 +139,35 @@ class BM25Index:
                 new_tids.append(tid)
                 new_docs.append(pos)
                 new_tfs.append(tf)
-            new_count += 1
+        n = len(new_tids)
+        self._reserve(n)
+        s = self._n_postings
+        self._tid[s : s + n] = new_tids
+        self._doc[s : s + n] = new_docs
+        self._tf[s : s + n] = new_tfs
+        self._n_postings += n
 
-        if new_count:
-            n = len(new_tids)
-            self._reserve(n)
-            s = self._n_postings
-            self._tid[s : s + n] = new_tids
-            self._doc[s : s + n] = new_docs
-            self._tf[s : s + n] = new_tfs
-            self._n_postings += n
-            self._dirty = True
-            logger.info(
-                "Added %d documents to BM25 index. Total: %d", new_count, len(self)
-            )
-        if self.persist_path:
-            self._save()
-        return new_count
+    def _add_documents_native(self, fresh: Sequence[Document]) -> None:
+        pos_start = len(self.store)
+        tids, docs, tfs, doc_lens, new_terms = self._native.add_documents(
+            [doc.text for doc in fresh], pos_start
+        )
+        for doc in fresh:
+            self.store.append(doc)
+        self.doc_lens.extend(int(x) for x in doc_lens)
+        # Mirror the native vocabulary additions (same id order).
+        for term in new_terms:
+            self.vocab.add(term)
+        assert len(self.vocab) == self._native.vocab_size, (
+            "python/native vocabulary desync"
+        )
+        n = tids.shape[0]
+        self._reserve(n)
+        s = self._n_postings
+        self._tid[s : s + n] = tids
+        self._doc[s : s + n] = docs
+        self._tf[s : s + n] = tfs
+        self._n_postings += n
 
     def _sync(self) -> Dict[str, object]:
         """(Re)build device CSR arrays from host buffers. Lazy: only if dirty."""
@@ -241,6 +287,11 @@ class BM25Index:
 
     def encode_queries(self, queries: Sequence[str]) -> np.ndarray:
         """Tokenize + vocab-encode queries into a padded [B, Lq] id batch."""
+        if self._native is not None:
+            # Fixed width avoids per-length retraces of downstream programs.
+            return self._native.encode_queries(
+                queries, self.config.max_query_terms
+            )
         token_lists = [tokenize(q) for q in queries]
         max_terms = self.config.max_query_terms
         longest = max((len(t) for t in token_lists), default=1)
@@ -360,6 +411,8 @@ class BM25Index:
         self.b = meta["b"]
         for term in meta["terms"]:
             self.vocab.add(term)
+        if self._native is not None:
+            self._native.seed_terms(meta["terms"])
         for d in meta["docs"]:
             self.store.append(
                 Document(d["id"], d["text"], d.get("title"), d.get("metadata"))
