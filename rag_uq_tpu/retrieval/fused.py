@@ -100,6 +100,10 @@ def make_fused_hybrid_query(
 
         if dense_mode == "stream":
             dvals, didx = cosine_topk(emb, q_vecs, size, pool, block)
+        elif dense_mode == "pallas":
+            from rag_uq_tpu.ops.pallas_topk import pallas_cosine_topk
+
+            dvals, didx = pallas_cosine_topk(emb, q_vecs, size, pool, block)
         else:
             dvals, didx = cosine_topk_single(
                 emb, q_vecs, size, pool, approx=(dense_mode == "single_approx")
