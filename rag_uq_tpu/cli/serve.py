@@ -1,0 +1,215 @@
+"""Batched retrieval/QA serving entry point.
+
+Deployment-layer parity (the reference ships docker-compose + two HTTP
+services, docker-compose.yml:24-56; SURVEY.md L7): here serving is one
+process with the index resident in HBM — no vector-store service to
+operate. A micro-batching loop aggregates concurrent requests into one
+fused device program per tick (the batched hot path), which is how the
+framework reaches its QPS numbers in production rather than per-query
+dispatch.
+
+Protocols:
+- `serve_http`: stdlib HTTP server, POST /search {"queries": [...], "k": N}
+  and POST /answer {"question": ..., "k": N}; GET /healthz.
+- `QueryService`: the embeddable micro-batching engine behind it.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from rag_uq_tpu.retrieval.hybrid import HybridRetriever
+from rag_uq_tpu.router.model import RetrievalRouter
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class _Pending:
+    queries: List[str]
+    k: int
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[List[Dict[str, Any]]]] = None
+
+
+class QueryService:
+    """Micro-batching search engine: requests aggregate into device batches."""
+
+    def __init__(
+        self,
+        retriever: HybridRetriever,
+        router: Optional[RetrievalRouter] = None,
+        max_batch: int = 256,
+        tick_ms: float = 2.0,
+    ):
+        self.retriever = retriever
+        self.router = router
+        self.max_batch = max_batch
+        self.tick_s = tick_ms / 1000.0
+        self._queue: "queue.Queue[_Pending]" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    def search(self, queries: List[str], k: int = 10) -> List[List[Dict[str, Any]]]:
+        req = _Pending(queries=queries, k=k)
+        self._queue.put(req)
+        req.event.wait()
+        assert req.result is not None
+        return req.result
+
+    # -- batching loop -----------------------------------------------------------
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=self.tick_s)
+            except queue.Empty:
+                continue
+            batch = [first]
+            n = len(first.queries)
+            # Aggregate whatever arrived within the tick window.
+            deadline_passed = False
+            while n < self.max_batch and not deadline_passed:
+                try:
+                    nxt = self._queue.get(timeout=self.tick_s)
+                    batch.append(nxt)
+                    n += len(nxt.queries)
+                except queue.Empty:
+                    deadline_passed = True
+            self._run_batch(batch)
+
+    def _run_batch(self, batch: List[_Pending]) -> None:
+        all_queries: List[str] = []
+        for req in batch:
+            all_queries.extend(req.queries)
+        k = max(req.k for req in batch)
+        try:
+            vals, pos = self.retriever.hybrid_search_batch(
+                all_queries, top_k=k, router=self.router
+            )
+            store = self.retriever.documents
+            results: List[List[Dict[str, Any]]] = []
+            for row_v, row_p in zip(vals, pos):
+                hits = []
+                for score, p in zip(row_v, row_p):
+                    if p >= 0:
+                        hits.append(
+                            {
+                                "doc_id": store.ids[int(p)],
+                                "score": float(score),
+                                "text": store.texts[int(p)],
+                            }
+                        )
+                results.append(hits)
+        except Exception as e:  # pragma: no cover - serving resilience
+            logger.exception("batch failed: %s", e)
+            results = [[] for _ in all_queries]
+
+        offset = 0
+        for req in batch:
+            req.result = [
+                hits[: req.k] for hits in results[offset : offset + len(req.queries)]
+            ]
+            offset += len(req.queries)
+            req.event.set()
+
+
+def serve_http(
+    service: QueryService,
+    llm=None,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call serve_forever)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, code: int, payload: Dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args) -> None:  # quiet
+            pass
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "documents": len(service.retriever)})
+            else:
+                self._send(404, {"error": "not found"})
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                self._send(400, {"error": "invalid json"})
+                return
+            if self.path == "/search":
+                queries = payload.get("queries") or [payload.get("query", "")]
+                k = int(payload.get("k", 10))
+                self._send(200, {"results": service.search(list(queries), k)})
+            elif self.path == "/answer":
+                question = payload.get("question", "")
+                k = int(payload.get("k", 10))
+                hits = service.search([question], k)[0]
+                context = " ".join(h["text"] for h in hits[:3])[:2000]
+                if llm is not None:
+                    from rag_uq_tpu.cli.evaluate import generate_answer
+
+                    answer = generate_answer(llm, question, context)
+                else:
+                    answer = hits[0]["text"] if hits else ""
+                self._send(200, {"answer": answer, "passages": hits})
+            else:
+                self._send(404, {"error": "not found"})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    logger.info("Serving on http://%s:%d", host, port)
+    return server
+
+
+def main(argv=None) -> None:
+    import argparse
+
+    parser = argparse.ArgumentParser(description="Serve the hybrid index")
+    parser.add_argument("--bm25-path", default="./data/bm25_index.json")
+    parser.add_argument("--dense-dir", default="./data/dense_index")
+    parser.add_argument("--router-checkpoint", default=None)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8080)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    retriever = HybridRetriever(
+        bm25_persist_path=args.bm25_path,
+        dense_persist_directory=args.dense_dir,
+    )
+    router = None
+    if args.router_checkpoint:
+        from rag_uq_tpu.router.train import RouterTrainer
+
+        router = RetrievalRouter()
+        RouterTrainer(router).load_checkpoint(args.router_checkpoint)
+    service = QueryService(retriever, router=router)
+    serve_http(service, host=args.host, port=args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,8 +31,8 @@ _NEG_INF = float("-inf")
 
 def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref,
             run_vals, run_idx, pool_vals, pool_idx):
-    i = pl.program_id(0)
-    n_blocks = pl.num_programs(0)
+    i = pl.program_id(1)  # corpus-block index (innermost)
+    n_blocks = pl.num_programs(1)
     bsz, k = run_vals.shape
     block_n = emb_ref.shape[0]
     pool_w = k + block_n
@@ -64,9 +64,13 @@ def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref,
         pool_vals[:, k:] = scores
         pool_idx[:, k:] = base + col
         pool_col = jax.lax.broadcasted_iota(jnp.int32, (bsz, pool_w), 1)
+        out_col = jax.lax.broadcasted_iota(jnp.int32, (bsz, k), 1)
         big = jnp.int32(pool_w)
 
-        def extract(j, _):
+        # K-pass extraction. Results are carried as values and written with
+        # lane masks (Mosaic forbids stores at dynamic lane offsets).
+        def extract(j, carry):
+            acc_vals, acc_idx = carry
             pv = pool_vals[:]
             mx = jnp.max(pv, axis=1)
             # First-max column (lowest index wins ties == lax.top_k order).
@@ -75,12 +79,17 @@ def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref,
             )
             sel = pool_col == amx[:, None]
             chosen_idx = jnp.sum(jnp.where(sel, pool_idx[:], 0), axis=1)
-            run_vals[:, pl.ds(j, 1)] = mx[:, None]
-            run_idx[:, pl.ds(j, 1)] = chosen_idx[:, None]
+            slot = out_col == j
+            acc_vals = jnp.where(slot, mx[:, None], acc_vals)
+            acc_idx = jnp.where(slot, chosen_idx[:, None], acc_idx)
             pool_vals[:] = jnp.where(sel, _NEG_INF, pv)
-            return 0
+            return acc_vals, acc_idx
 
-        jax.lax.fori_loop(0, k, extract, 0)
+        vals0 = jnp.full((bsz, k), _NEG_INF, dtype=jnp.float32)
+        idx0 = jnp.full((bsz, k), -1, dtype=jnp.int32)
+        new_vals, new_idx = jax.lax.fori_loop(0, k, extract, (vals0, idx0))
+        run_vals[:] = new_vals
+        run_idx[:] = new_idx
 
     @pl.when(i == n_blocks - 1)
     def _():
@@ -89,49 +98,59 @@ def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref,
         idx_ref[:] = jnp.where(rv == _NEG_INF, -1, run_idx[:])
 
 
-@partial(jax.jit, static_argnames=("k", "block", "interpret"))
+@partial(jax.jit, static_argnames=("k", "block", "q_block", "interpret"))
 def pallas_cosine_topk(
     emb: jax.Array,  # [cap, D], L2-normalized rows (any float dtype)
     queries: jax.Array,  # [B, D]
     size: jax.Array,  # scalar int32 live-row count
     k: int,
-    block: int = 512,
+    block: int = 1024,
+    q_block: int = 256,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k cosine scores/indices; contract matches ops.topk.cosine_topk."""
+    """Exact top-k cosine scores/indices; contract matches ops.topk.cosine_topk.
+
+    Grid is (query blocks, corpus blocks) with corpus innermost so the
+    running top-K scratch lives across one query block's full corpus sweep.
+    q_block bounds VMEM (the pool scratch is [q_block, k + block] f32+i32).
+    """
     cap, dim = emb.shape
     bsz = queries.shape[0]
     if cap % block != 0:
         raise ValueError(f"capacity {cap} must be a multiple of block {block}")
+    bq = min(q_block, bsz)
+    if bsz % bq != 0:
+        raise ValueError(f"batch {bsz} must be a multiple of q_block {bq}")
     n_blocks = cap // block
+    nq = bsz // bq
     q = queries.astype(emb.dtype)
     size_arr = jnp.asarray(size, dtype=jnp.int32).reshape(1, 1)
 
     vals, idx = pl.pallas_call(
         _kernel,
-        grid=(n_blocks,),
+        grid=(nq, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((bsz, dim), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda iq, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((bq, dim), lambda iq, i: (iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, dim), lambda iq, i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((bsz, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bsz, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda iq, i: (iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bq, k), lambda iq, i: (iq, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, k), jnp.float32),
             jax.ShapeDtypeStruct((bsz, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bsz, k), jnp.float32),
-            pltpu.VMEM((bsz, k), jnp.int32),
-            pltpu.VMEM((bsz, k + block), jnp.float32),
-            pltpu.VMEM((bsz, k + block), jnp.int32),
+            pltpu.VMEM((bq, k), jnp.float32),
+            pltpu.VMEM((bq, k), jnp.int32),
+            pltpu.VMEM((bq, k + block), jnp.float32),
+            pltpu.VMEM((bq, k + block), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * cap * dim,
-            bytes_accessed=cap * dim * emb.dtype.itemsize
+            bytes_accessed=nq * cap * dim * emb.dtype.itemsize
             + bsz * dim * emb.dtype.itemsize
             + 2 * bsz * k * 4,
             transcendentals=0,

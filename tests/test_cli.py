@@ -1,0 +1,217 @@
+"""CLI / experiment-layer tests: build-index, train-router, calibrate,
+evaluate, pipeline, and the serving engine."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from rag_uq_tpu.cli.build_index import build_index_from_jsonl, verify_index
+from rag_uq_tpu.cli.calibrate import run_calibration
+from rag_uq_tpu.cli.calibrate import test_conformal_predictions as conformal_test_report
+from rag_uq_tpu.cli.evaluate import run_ablation_study, run_evaluation
+from rag_uq_tpu.cli.serve import QueryService, serve_http
+from rag_uq_tpu.cli.train_router import (
+    evaluate_hit_at_1,
+    prepare_training_data,
+    run_synthetic_experiment,
+)
+from rag_uq_tpu.core.config import Config, DenseIndexConfig, EmbedderConfig, TrainConfig
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.data.loaders import create_synthetic_nq, load_qa_jsonl, write_jsonl
+from rag_uq_tpu.llm.mock import MockLLM
+from rag_uq_tpu.retrieval.hybrid import HybridRetriever
+
+
+SMALL = Config(
+    dense=DenseIndexConfig(embedding_dim=64, initial_capacity=128, score_block=128),
+    embedder=EmbedderConfig(dim=64, vocab_hash_buckets=4096),
+)
+
+
+@pytest.fixture
+def corpus_path(tmp_path):
+    rows = [
+        {"id": f"d{i}", "text": f"passage about topic{i % 5} number {i}"}
+        for i in range(30)
+    ]
+    path = tmp_path / "corpus.jsonl"
+    write_jsonl(str(path), rows)
+    return str(path)
+
+
+class TestBuildIndex:
+    def test_build_and_verify(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path,
+            checkpoint_path=str(tmp_path / "ckpt.json"),
+            bm25_persist_path=None,
+            dense_persist_directory=None,
+            config=SMALL,
+        )
+        assert len(retriever) == 30
+        report = verify_index(retriever, ["topic3 number 8"])
+        assert report["total_documents"] == 30
+        assert report["queries"]["topic3 number 8"]
+
+    def test_resume_skips_done(self, corpus_path, tmp_path):
+        kwargs = dict(
+            checkpoint_path=str(tmp_path / "ckpt.json"),
+            bm25_persist_path=None,
+            dense_persist_directory=None,
+            config=SMALL,
+        )
+        build_index_from_jsonl(corpus_path, **kwargs)
+        retriever2 = build_index_from_jsonl(corpus_path, **kwargs)
+        assert len(retriever2) == 0  # resumed past the whole file
+
+
+class TestTrainRouterCLI:
+    def test_prepare_training_data_shapes(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        samples = [
+            {"question": "topic3 number 8", "answers": ["number 8"]},
+            {"question": "topic1", "answers": ["number 1", "number 6"]},
+        ]
+        bm25, dense, rel = prepare_training_data(retriever, samples, num_passages=10)
+        assert bm25.shape == dense.shape == rel.shape == (2, 10)
+        assert rel.max() > 0  # answer substring found in some passage
+
+    def test_synthetic_experiment(self, tmp_path):
+        results = run_synthetic_experiment(
+            n_queries=80, num_passages=10, output_dir=str(tmp_path),
+            train_config=TrainConfig(num_epochs=4, checkpoint_dir=str(tmp_path)),
+        )
+        assert results["epochs_trained"] <= 4
+        assert 0.0 <= results["val_hit_at_1"] <= 1.0
+        assert (tmp_path / "training_results.json").exists()
+        assert (tmp_path / "training_curves.png").exists()
+        assert (tmp_path / "final_router.msgpack").exists()
+
+
+class TestCalibrateCLI:
+    def test_calibrate_and_test(self, tmp_path):
+        nq = str(tmp_path / "nq.jsonl")
+        create_synthetic_nq(nq, 40)
+        stats = run_calibration(
+            nq, llm_client=MockLLM(["Paris"]), n_calibration=20,
+            db_path=str(tmp_path / "cal.db"),
+            output_path=str(tmp_path / "cal.json"),
+        )
+        assert stats["total_calibrated"] > 0
+        assert (tmp_path / "cal.json").exists()
+        report = conformal_test_report(
+            nq, llm_client=MockLLM(["Paris"]), n_calibration=20, n_test=10,
+            db_path=str(tmp_path / "cal.db"),
+        )
+        assert report["n_test"] == 10
+        assert 0 <= report["reliable_ratio"] <= 1
+
+
+class TestEvaluateCLI:
+    @pytest.fixture
+    def retriever(self, corpus_path, tmp_path):
+        return build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+
+    def test_run_evaluation(self, retriever, tmp_path):
+        samples = [
+            {"question": "topic2 number 7", "answers": ["number 7"]},
+            {"question": "topic4 number 9", "answers": ["number 9"]},
+        ]
+        results = run_evaluation(
+            retriever, samples, llm=MockLLM(["number 7"]),
+            output_dir=str(tmp_path / "results"),
+        )
+        assert results["summary"]["n_queries"] == 2
+        # Retrieval metrics are real (pseudo-gold), not the reference's
+        # silent zeros.
+        assert results["retrieval"]["mrr"] > 0
+        assert (tmp_path / "results/evaluation_results.json").exists()
+
+    def test_ablation_arms(self, retriever, tmp_path):
+        samples = [{"question": "topic1 number 6", "answers": ["number 6"]}]
+        arms = run_ablation_study(
+            retriever, samples, llm=MockLLM(),
+            output_dir=str(tmp_path / "ablation"),
+        )
+        assert set(arms) == {"bm25_only", "dense_only", "fixed_hybrid"}
+        from rag_uq_tpu.router.model import RetrievalRouter
+
+        arms = run_ablation_study(
+            retriever, samples, llm=MockLLM(), router=RetrievalRouter(),
+            output_dir=str(tmp_path / "ablation2"),
+        )
+        assert "learned_router" in arms
+
+
+class TestServe:
+    def test_query_service_batches(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever, max_batch=8, tick_ms=1.0)
+        try:
+            results = service.search(["topic3 number 8", "topic0 number 5"], k=3)
+            assert len(results) == 2
+            assert results[0][0]["doc_id"]
+            # Concurrent requests coalesce without cross-talk.
+            outs = {}
+
+            def call(i):
+                outs[i] = service.search([f"topic{i % 5} number {i}"], k=2)[0]
+
+            threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+            [t.start() for t in threads]
+            [t.join() for t in threads]
+            assert len(outs) == 6
+            assert all(len(v) <= 2 for v in outs.values())
+        finally:
+            service.close()
+
+    def test_http_endpoints(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+        server = serve_http(service, llm=MockLLM(["the answer"]), port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz"
+            ) as r:
+                health = json.loads(r.read())
+            assert health["documents"] == 30
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"queries": ["topic3 number 8"], "k": 2}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert len(body["results"][0]) == 2
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/answer",
+                data=json.dumps({"question": "topic3 number 8"}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["answer"] == "the answer"
+            assert body["passages"]
+        finally:
+            server.shutdown()
+            service.close()
