@@ -1,0 +1,178 @@
+"""Corpus-sharded hybrid index: the multi-chip deployment of the retriever.
+
+BASELINE.json config 5 ("1M-passage corpus sharded across v5e-8, streaming
+ingest + per-shard top-k merged over ICI"): documents stream in on the host
+exactly like the single-chip index; `sync()` lays the dense matrix and the
+BM25 CSR out row-sharded across the mesh's corpus axis; queries are
+replicated; each chip computes an exact local top-k on its shard and the
+(score, global-id) pairs merge with an all-gather over ICI. The hybrid
+fusion (union merge + fixed fusion or learned router) then runs on the
+replicated pool — identical math to the single-chip fused path, identical
+results (tested on the virtual 8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig, EmbedderConfig
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.core.mesh import CORPUS_AXIS
+from rag_uq_tpu.embed.base import Embedder, get_embedder
+from rag_uq_tpu.index.sparse import BM25Index, _next_pow2
+from rag_uq_tpu.parallel.sharding import (
+    make_sharded_bm25_topk,
+    make_sharded_dense_topk,
+    shard_bm25_state,
+    shard_corpus_matrix,
+)
+from rag_uq_tpu.retrieval.fused import merge_pools
+
+logger = logging.getLogger(__name__)
+
+
+class ShardedHybridIndex:
+    """Hybrid retrieval over a mesh-sharded corpus."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        embedder: Optional[Embedder] = None,
+        bm25_config: Optional[BM25Config] = None,
+        dense_config: Optional[DenseIndexConfig] = None,
+        embedder_config: Optional[EmbedderConfig] = None,
+    ):
+        self.mesh = mesh
+        self.n_shards = mesh.shape[CORPUS_AXIS]
+        self.dense_config = dense_config or DenseIndexConfig()
+        self.embedder = embedder or get_embedder(
+            embedder_config or EmbedderConfig(dim=self.dense_config.embedding_dim)
+        )
+        # Host-side build state: the BM25Index host buffers double as the doc
+        # store; dense embeddings accumulate on host and shard at sync.
+        self.bm25 = BM25Index(config=bm25_config)
+        self._host_emb: list = []
+        self._synced: Optional[Dict[str, object]] = None
+        self._searchers: Dict = {}
+
+    def __len__(self) -> int:
+        return len(self.bm25.store)
+
+    @property
+    def documents(self):
+        return self.bm25.store
+
+    def add_documents(self, documents: Sequence[Document], batch_size: int = 256):
+        fresh = [d for d in documents if d.id not in self.bm25.store]
+        for i in range(0, len(fresh), batch_size):
+            batch = fresh[i : i + batch_size]
+            vecs = np.asarray(self.embedder.encode([d.text for d in batch]))
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            self._host_emb.append(vecs / np.maximum(norms, 1e-12))
+        self.bm25.add_documents(fresh)
+        self._synced = None
+        return {"added": len(fresh), "total_documents": len(self)}
+
+    # -- device layout ----------------------------------------------------------
+
+    def sync(self) -> Dict[str, object]:
+        if self._synced is not None:
+            return self._synced
+        n = len(self)
+        shard_cap = _next_pow2(max(-(-n // self.n_shards), 1), floor=128)
+        cap = shard_cap * self.n_shards
+
+        emb = np.zeros((cap, self.dense_config.embedding_dim), dtype=np.float32)
+        if self._host_emb:
+            stacked = np.concatenate(self._host_emb, axis=0)
+            emb[: stacked.shape[0]] = stacked
+        emb_sharded = shard_corpus_matrix(
+            jnp.asarray(emb).astype(jnp.dtype(self.dense_config.dtype)), self.mesh
+        )
+
+        dev = self.bm25._sync()
+        bm25_sharded = shard_bm25_state(
+            {
+                "indptr": dev["indptr"],
+                "post_doc": dev["post_doc"],
+                "post_w": dev["post_w"],
+                "docs_per_shard": shard_cap,
+            },
+            self.mesh,
+        )
+        self._synced = {
+            "emb": emb_sharded,
+            "cap": cap,
+            "shard_cap": shard_cap,
+            "bm25": bm25_sharded,
+            "max_df": dev["max_df"],
+        }
+        logger.info(
+            "Sharded index synced: %d docs over %d shards (cap %d/shard)",
+            n, self.n_shards, shard_cap,
+        )
+        return self._synced
+
+    def _get_searchers(self, pool: int, max_df: int, cap: int):
+        key = (pool, max_df, cap)
+        if key not in self._searchers:
+            self._searchers[key] = (
+                make_sharded_dense_topk(self.mesh, k=pool),
+                make_sharded_bm25_topk(self.mesh, k=pool, max_df=max_df,
+                                       n_docs_cap=cap),
+            )
+        return self._searchers[key]
+
+    # -- queries -------------------------------------------------------------------
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        pool: int = 50,
+        router=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Sharded hybrid search: (scores [B, k], global doc positions [B, k])."""
+        state = self.sync()
+        pool = min(pool, max(len(self), 1))
+        dense_topk, bm25_topk = self._get_searchers(
+            pool, state["max_df"], state["cap"]
+        )
+
+        vecs = np.asarray(self.embedder.encode(queries))
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        qtids = jnp.asarray(self.bm25.encode_queries(queries))
+
+        dvals, didx = dense_topk(
+            state["emb"], jnp.asarray(vecs), jnp.int32(len(self))
+        )
+        b = state["bm25"]
+        bvals, bidx = bm25_topk(b["indptr"], b["post_doc"], b["post_w"], qtids)
+
+        positions, bm25_scores, dense_scores = merge_pools(
+            bvals, bidx, jnp.where(didx >= 0, dvals, 0.0), didx
+        )
+        live = positions >= 0
+        if router is not None:
+            weights = router.module.apply(
+                {"params": router.params, "stats": router.stats},
+                bm25_scores, dense_scores, update_stats=False, train=False,
+            )
+            hybrid = weights * dense_scores + (1 - weights) * bm25_scores
+        else:
+            max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
+            max_d = jnp.maximum(jnp.max(dense_scores, axis=-1, keepdims=True), 1e-12)
+            hybrid = (bm25_scores / max_b + dense_scores / max_d) / 2.0
+        hybrid = jnp.where(live, hybrid, -jnp.inf)
+        k = min(top_k, hybrid.shape[-1])
+        vals, sel = jax.lax.top_k(hybrid, k)
+        out_pos = jnp.take_along_axis(positions, sel, axis=-1)
+        out_pos = jnp.where(jnp.isneginf(vals), -1, out_pos)
+        vals = jnp.where(jnp.isneginf(vals), 0.0, vals)
+        return np.asarray(vals), np.asarray(out_pos)

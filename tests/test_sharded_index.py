@@ -1,0 +1,121 @@
+"""ShardedHybridIndex end-to-end: identical results to the single-chip path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig
+from rag_uq_tpu.core.mesh import make_mesh
+from rag_uq_tpu.core.types import Document
+from rag_uq_tpu.embed.hash_embed import NgramHashEmbedder
+from rag_uq_tpu.index.dense import DenseIndex
+from rag_uq_tpu.index.sparse import BM25Index
+from rag_uq_tpu.ops import bm25 as bm25_ops
+from rag_uq_tpu.ops.topk import cosine_topk
+from rag_uq_tpu.parallel.sharded_index import ShardedHybridIndex
+from rag_uq_tpu.retrieval.fused import merge_pools
+from rag_uq_tpu.router.model import RetrievalRouter
+
+from tests.oracles import make_synthetic_corpus
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_synthetic_corpus(np.random.default_rng(21), 300)
+
+
+@pytest.fixture(scope="module")
+def embedder():
+    return NgramHashEmbedder(dim=64, buckets=4096)
+
+
+@pytest.fixture(scope="module")
+def sharded(corpus, embedder):
+    idx = ShardedHybridIndex(
+        make_mesh(8),
+        embedder=embedder,
+        dense_config=DenseIndexConfig(embedding_dim=64),
+    )
+    idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+    return idx
+
+
+QUERIES = ["w1 w2 the", "w10 w3", "the is a w5", "w7"]
+
+
+def _single_chip_reference(corpus, embedder, queries, pool, k, router=None):
+    """Compose the single-chip exact pieces with the same merge code."""
+    bm25 = BM25Index()
+    bm25.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+    dense = DenseIndex(
+        embedder=embedder,
+        config=DenseIndexConfig(embedding_dim=64, initial_capacity=512,
+                                score_block=512),
+    )
+    dense.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+
+    dev = bm25._sync()
+    qtids = jnp.asarray(bm25.encode_queries(queries))
+    scores = bm25_ops.score_all(
+        dev["indptr"], dev["post_doc"], dev["post_w"], qtids,
+        dev["n_docs_cap"], dev["max_df"],
+    )
+    bvals, bidx = bm25_ops.topk_from_scores(scores, pool)
+    q = dense.embed_queries(queries)
+    dvals, didx = cosine_topk(dense._emb, q, jnp.int32(len(dense)), pool,
+                              block=512)
+    positions, bcol, dcol = merge_pools(
+        bvals, bidx, jnp.where(didx >= 0, dvals, 0.0), didx
+    )
+    live = positions >= 0
+    if router is not None:
+        w = router.module.apply(
+            {"params": router.params, "stats": router.stats}, bcol, dcol,
+            update_stats=False, train=False,
+        )
+        hybrid = w * dcol + (1 - w) * bcol
+    else:
+        mb = jnp.maximum(jnp.max(bcol, axis=-1, keepdims=True), 1e-12)
+        md = jnp.maximum(jnp.max(dcol, axis=-1, keepdims=True), 1e-12)
+        hybrid = (bcol / mb + dcol / md) / 2.0
+    hybrid = jnp.where(live, hybrid, -jnp.inf)
+    vals, sel = jax.lax.top_k(hybrid, k)
+    pos = jnp.take_along_axis(positions, sel, axis=-1)
+    return np.asarray(vals), np.asarray(pos)
+
+
+class TestShardedHybridIndex:
+    def test_matches_single_chip(self, corpus, embedder, sharded):
+        sv, sp = sharded.search_batch(QUERIES, top_k=10, pool=20)
+        rv, rp = _single_chip_reference(corpus, embedder, QUERIES, pool=20, k=10)
+        np.testing.assert_allclose(sv, rv, rtol=1e-4)
+        np.testing.assert_array_equal(sp, rp)
+
+    def test_router_fusion(self, corpus, embedder, sharded):
+        router = RetrievalRouter()
+        sv, sp = sharded.search_batch(QUERIES, top_k=5, pool=20, router=router)
+        rv, rp = _single_chip_reference(
+            corpus, embedder, QUERIES, pool=20, k=5, router=router
+        )
+        np.testing.assert_array_equal(sp, rp)
+        np.testing.assert_allclose(sv, rv, rtol=1e-4)
+
+    def test_incremental_add_resyncs(self, embedder):
+        corpus = make_synthetic_corpus(np.random.default_rng(22), 100)
+        idx = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(50)])
+        v1, p1 = idx.search_batch(["w1 w2"], top_k=5)
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(50, 100)])
+        v2, p2 = idx.search_batch(["w1 w2"], top_k=5)
+        assert len(idx) == 100
+        # Results may change with more docs, but must stay valid positions.
+        assert (p2[p2 >= 0] < 100).all()
