@@ -40,6 +40,9 @@ from rag_uq_tpu.uq.mc import MCDropoutConfidence
 from rag_uq_tpu.uq.conformal import ConformalRAG
 from rag_uq_tpu.uq.hybrid import HybridConfidence
 from rag_uq_tpu.eval.evaluator import RAGEvaluator
+from rag_uq_tpu.data.chunk import chunk_text
+from rag_uq_tpu.llm.mock import MockLLM
+from rag_uq_tpu.llm.tiny_lm import TinyLM
 
 __version__ = "0.1.0"
 
@@ -64,4 +67,7 @@ __all__ = [
     "ConformalRAG",
     "HybridConfidence",
     "RAGEvaluator",
+    "chunk_text",
+    "MockLLM",
+    "TinyLM",
 ]

@@ -123,13 +123,17 @@ class ConformalRAG:
     def rouge_l(self, prediction: str, reference: str) -> float:
         return _rouge_l(prediction, reference)
 
-    def _generate(self, context: str, question: str) -> str:
-        """Greedy-ish generation at T=0.1 (parity :378-403)."""
-        prompt = (
+    @staticmethod
+    def _build_prompt(context: str, question: str) -> str:
+        return (
             "Answer the following question based on the provided context.\n"
             "Be concise and precise.\n\n"
             f"Context: {context}\n\nQuestion: {question}\n\nAnswer:"
         )
+
+    def _generate(self, context: str, question: str) -> str:
+        """Greedy-ish generation at T=0.1 (parity :378-403)."""
+        prompt = self._build_prompt(context, question)
         try:
             return self.llm.generate(
                 prompt, temperature=0.1, top_p=0.9, max_tokens=100
@@ -147,35 +151,63 @@ class ConformalRAG:
         skip_existing: bool = True,
     ) -> Dict[str, Any]:
         """Build the calibration set (resumable via query-hash dedup, :405-476)."""
-        new_scores: List[float] = []
+        # Resolve which examples still need generation (hash-dedup resume).
+        pending = []
         skipped = 0
-        for i, (q, ctx, true) in enumerate(zip(questions, contexts, true_answers)):
-            query_hash = self._compute_query_hash(q, ctx)
-            if skip_existing:
-                with sqlite3.connect(self.db_path) as conn:
+        with sqlite3.connect(self.db_path) as conn:
+            for q, ctx, true in zip(questions, contexts, true_answers):
+                query_hash = self._compute_query_hash(q, ctx)
+                if skip_existing:
                     row = conn.execute(
                         "SELECT 1 FROM calibration_scores WHERE query_hash = ?",
                         (query_hash,),
                     ).fetchone()
-                if row:
-                    skipped += 1
-                    continue
-            pred = self._generate(ctx, q)
-            rouge = self.rouge_l(pred, true)
-            nonconformity = 1.0 - rouge
+                    if row:
+                        skipped += 1
+                        continue
+                pending.append((query_hash, q, ctx, true))
+
+        # Generate in device batches when the client supports it (one XLA
+        # program per chunk instead of the reference's per-example HTTP call,
+        # confidence.py:432-465); fall back to per-example generate.
+        new_scores: List[float] = []
+        batch_size = 32
+        for start in range(0, len(pending), batch_size):
+            chunk = pending[start : start + batch_size]
+            prompts = [self._build_prompt(ctx, q) for _, q, ctx, _ in chunk]
+            if hasattr(self.llm, "generate_batch"):
+                try:
+                    preds = self.llm.generate_batch(
+                        prompts,
+                        [0.1] * len(prompts),
+                        [0.9] * len(prompts),
+                        max_tokens=100,
+                    )
+                except Exception as e:
+                    logger.error("Batched generation failed: %s", e)
+                    preds = [""] * len(prompts)
+            else:
+                preds = [self._generate(ctx, q) for _, q, ctx, _ in chunk]
+            preds = [p.strip() for p in preds]
+
             with sqlite3.connect(self.db_path) as conn:
-                conn.execute(
-                    """
-                    INSERT OR REPLACE INTO calibration_scores
-                    (query_hash, question, predicted_answer, true_answer,
-                     nonconformity_score, rouge_l)
-                    VALUES (?, ?, ?, ?, ?, ?)
-                    """,
-                    (query_hash, q, pred, true, nonconformity, rouge),
+                for (query_hash, q, ctx, true), pred in zip(chunk, preds):
+                    rouge = self.rouge_l(pred, true)
+                    nonconformity = 1.0 - rouge
+                    conn.execute(
+                        """
+                        INSERT OR REPLACE INTO calibration_scores
+                        (query_hash, question, predicted_answer, true_answer,
+                         nonconformity_score, rouge_l)
+                        VALUES (?, ?, ?, ?, ?, ?)
+                        """,
+                        (query_hash, q, pred, true, nonconformity, rouge),
+                    )
+                    new_scores.append(nonconformity)
+            if new_scores and len(new_scores) % 50 < batch_size:
+                logger.info(
+                    "Calibrated %d/%d examples", len(new_scores), len(pending)
                 )
-            new_scores.append(nonconformity)
-            if (i + 1) % 50 == 0:
-                logger.info("Calibrated %d/%d examples", i + 1, len(questions))
 
         self._load_calibration()
         scores = np.asarray(self.calibration_scores)
