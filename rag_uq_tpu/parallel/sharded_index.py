@@ -129,6 +129,47 @@ class ShardedHybridIndex:
             )
         return self._searchers[key]
 
+    # -- persistence ---------------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        """Checkpoint the host build state (embeddings npy + BM25 + manifest).
+
+        The device layout is derived state; restoring on any mesh size
+        re-shards at the next sync (elastic across pod shapes).
+        """
+        import json
+        from pathlib import Path
+
+        out = Path(directory)
+        out.mkdir(parents=True, exist_ok=True)
+        emb = (
+            np.concatenate(self._host_emb, axis=0)
+            if self._host_emb
+            else np.zeros((0, self.dense_config.embedding_dim), np.float32)
+        )
+        np.save(out / "embeddings.npy", emb)
+        self.bm25.persist_path = out / "bm25.json"
+        self.bm25._save()
+        with open(out / "manifest.json", "w") as f:
+            json.dump(
+                {"n_docs": len(self), "dim": self.dense_config.embedding_dim}, f
+            )
+        logger.info("Saved sharded index (%d docs) to %s", len(self), out)
+
+    def load(self, directory: str) -> None:
+        import json
+        from pathlib import Path
+
+        out = Path(directory)
+        with open(out / "manifest.json") as f:
+            manifest = json.load(f)
+        self.bm25 = BM25Index(persist_path=str(out / "bm25.json"))
+        emb = np.load(out / "embeddings.npy")
+        self._host_emb = [emb] if emb.shape[0] else []
+        self._synced = None
+        assert len(self) == manifest["n_docs"]
+        logger.info("Loaded sharded index (%d docs) from %s", len(self), out)
+
     # -- queries -------------------------------------------------------------------
 
     def search_batch(

@@ -106,6 +106,19 @@ class TestShardedHybridIndex:
         np.testing.assert_array_equal(sp, rp)
         np.testing.assert_allclose(sv, rv, rtol=1e-4)
 
+    def test_save_load_roundtrip(self, corpus, embedder, sharded, tmp_path):
+        sv, sp = sharded.search_batch(QUERIES[:2], top_k=5, pool=20)
+        sharded.save(str(tmp_path / "ckpt"))
+        restored = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        restored.load(str(tmp_path / "ckpt"))
+        assert len(restored) == len(sharded)
+        rv, rp = restored.search_batch(QUERIES[:2], top_k=5, pool=20)
+        np.testing.assert_array_equal(sp, rp)
+        np.testing.assert_allclose(sv, rv, rtol=1e-4)
+
     def test_incremental_add_resyncs(self, embedder):
         corpus = make_synthetic_corpus(np.random.default_rng(22), 100)
         idx = ShardedHybridIndex(
