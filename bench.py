@@ -130,7 +130,8 @@ def main() -> None:
     router = RetrievalRouter()
     router_vars = {"params": router.params, "stats": router.stats}
     fused = make_fused_hybrid_query(
-        router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=BEAM
+        router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=BEAM,
+        dense_mode="single_approx",
     )
 
     # Query batches: dense side = source doc vector + noise; sparse side =

@@ -43,6 +43,10 @@ class BM25Config:
     # docs); terms with df <= threshold are scored from posting slices of
     # length `threshold` (fully covered => exact).
     dense_tier_threshold: int = 128
+    # Upper bound on dense-tier rows: the impact matrix is [T, Ncap], so T is
+    # capped and the threshold raised (beam widened) when more terms exceed
+    # it — keeps memory bounded at any corpus size while staying exact.
+    max_dense_tier_rows: int = 8192
     impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
 
 

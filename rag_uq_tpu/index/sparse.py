@@ -228,24 +228,31 @@ class BM25Index:
         # df <= threshold are fully covered by posting slices of length
         # `threshold`. indptr_low empties the dense-tier terms' ranges.
         thresh = self.config.dense_tier_threshold
+        max_rows = self.config.max_dense_tier_rows
+        if vsize and int((df > thresh).sum()) > max_rows:
+            # Too many high-df terms for the memory budget: raise the
+            # threshold to the (max_rows+1)-th largest df so at most
+            # max_rows terms go dense; the wider low-tier beam keeps
+            # scoring exact at higher VPU cost.
+            thresh = int(np.partition(df, -max_rows - 1)[-max_rows - 1])
         dense_terms = np.nonzero(df > thresh)[0]
         t_dense = dense_terms.shape[0]
         tcap = _next_pow2(max(t_dense, 1), floor=8)
         term_row = np.full(vcap, -1, dtype=np.int32)
         term_row[dense_terms] = np.arange(t_dense, dtype=np.int32)
 
-        impact = np.zeros((tcap, ncap), dtype=np.float32)
+        import ml_dtypes
+
+        impact_np_dtype = (
+            ml_dtypes.bfloat16
+            if self.config.impact_dtype == "bfloat16"
+            else np.dtype(self.config.impact_dtype)
+        )
+        impact = np.zeros((tcap, ncap), dtype=impact_np_dtype)
         if n_post:
             rows_of_post = term_row[tid_s]
             m = rows_of_post >= 0
-            impact[rows_of_post[m], doc_s[m]] = w_s[m]
-        import ml_dtypes
-
-        impact = impact.astype(
-            ml_dtypes.bfloat16
-            if self.config.impact_dtype == "bfloat16"
-            else self.config.impact_dtype
-        )
+            impact[rows_of_post[m], doc_s[m]] = w_s[m].astype(impact_np_dtype)
 
         # Explicit (start, end) ranges: a plain indptr cannot represent the
         # emptied dense-tier ranges since end_i aliases start_{i+1}.
@@ -288,10 +295,16 @@ class BM25Index:
     def encode_queries(self, queries: Sequence[str]) -> np.ndarray:
         """Tokenize + vocab-encode queries into a padded [B, Lq] id batch."""
         if self._native is not None:
-            # Fixed width avoids per-length retraces of downstream programs.
-            return self._native.encode_queries(
-                queries, self.config.max_query_terms
-            )
+            out = self._native.encode_queries(queries, self.config.max_query_terms)
+            # Trim trailing all-padding columns to the next power-of-2 bucket:
+            # a trailing -1 slot is either padding or an unknown term, and
+            # both contribute zero, so trimming is semantics-free while
+            # shrinking every downstream [B, Lq, ...] program ~4x for typical
+            # queries (lengths bucket to limit retraces).
+            live_cols = np.nonzero((out != -1).any(axis=0))[0]
+            longest = int(live_cols[-1]) + 1 if live_cols.size else 1
+            lq = min(_next_pow2(longest, floor=8), self.config.max_query_terms)
+            return np.ascontiguousarray(out[:, :lq])
         token_lists = [tokenize(q) for q in queries]
         max_terms = self.config.max_query_terms
         longest = max((len(t) for t in token_lists), default=1)

@@ -159,13 +159,22 @@ def _low_tier_segsum(
     order = jnp.argsort(docs)
     docs = docs[order]
     w = w[order]
-    cs = jnp.cumsum(w)
-    prev = jnp.concatenate([jnp.array([-1], dtype=docs.dtype), docs[:-1]])
+    # Group by doc with a shift-window sum instead of cumsum/cummax scans:
+    # a doc appears at most once per query term, so after sorting, runs of
+    # equal doc ids are at most Lq long — the run total at the run's last
+    # element is the sum of the <= Lq-1 preceding equal-doc weights.
+    n_terms = tids.shape[0]
+    run_total = w
+    for shift in range(1, n_terms):
+        shifted_docs = jnp.concatenate(
+            [jnp.full((shift,), -2, dtype=docs.dtype), docs[:-shift]]
+        )
+        shifted_w = jnp.concatenate(
+            [jnp.zeros((shift,), dtype=w.dtype), w[:-shift]]
+        )
+        run_total = run_total + jnp.where(shifted_docs == docs, shifted_w, 0.0)
     nxt = jnp.concatenate([docs[1:], jnp.array([_DOC_SENTINEL], dtype=docs.dtype)])
-    is_first = docs != prev
     is_last = docs != nxt
-    base = jax.lax.cummax(jnp.where(is_first, cs - w, -jnp.inf))
-    run_total = cs - jnp.maximum(base, 0.0)
     valid = is_last & (docs != _DOC_SENTINEL)
     return (
         jnp.where(valid, docs, -1),

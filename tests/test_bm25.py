@@ -73,6 +73,25 @@ class TestSearch:
         np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=2e-2)
         np.testing.assert_array_equal(fast_i[live], exact_i[live])
 
+    def test_twotier_row_cap_raises_threshold_stays_exact(self, corpus):
+        """Capping the dense tier reroutes terms to a wider low-tier beam
+        without changing results."""
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(
+            impact_dtype="float32", dense_tier_threshold=2,
+            max_dense_tier_rows=4,
+        ))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        dev = idx._sync()
+        assert dev["impact"].shape[0] <= 8  # <= next_pow2(4) rows
+        queries = ["w1 w2 the", "the is a"]
+        exact_v, exact_i = idx.search_batch(queries, top_k=5, exact=True)
+        fast_v, fast_i = idx.search_batch(queries, top_k=5, exact=False)
+        live = exact_v > 0
+        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=1e-5)
+        np.testing.assert_array_equal(fast_i[live], exact_i[live])
+
     def test_twotier_exact_with_f32_impacts(self, corpus):
         from rag_uq_tpu.core.config import BM25Config
 
