@@ -149,14 +149,25 @@ class HybridRetriever:
         state = self._fused_state()
         beam = self.bm25_index._sync()["beam"]
         pool = min(retrieval_pool_size, max(len(self.documents), 1))
-        fused = make_fused_hybrid_query(
-            router_module=router.module if router is not None else None,
-            k=min(top_k, 2 * pool),
-            pool=pool,
-            beam=beam,
-            approx_topk=approx,
-            dense_mode="single",
+        # Cache the jitted program per static configuration: a fresh closure
+        # per call would retrace/recompile every request.
+        key = (
+            min(top_k, 2 * pool), pool, beam, approx,
+            id(router.module) if router is not None else None,
         )
+        if not hasattr(self, "_fused_fns"):
+            self._fused_fns = {}
+        fused = self._fused_fns.get(key)
+        if fused is None:
+            fused = make_fused_hybrid_query(
+                router_module=router.module if router is not None else None,
+                k=min(top_k, 2 * pool),
+                pool=pool,
+                beam=beam,
+                approx_topk=approx,
+                dense_mode="single",
+            )
+            self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)
         qtids = self.bm25_index.encode_queries(queries)
         router_vars = (
