@@ -92,7 +92,11 @@ def main() -> None:
 
     from rag_uq_tpu.core.types import Document
     from rag_uq_tpu.index.sparse import BM25Index
-    from rag_uq_tpu.retrieval.fused import build_index_state, make_fused_hybrid_query
+    from rag_uq_tpu.retrieval.fused import (
+        build_index_state,
+        encode_for_fused,
+        make_fused_hybrid_query,
+    )
     from rag_uq_tpu.router.model import RetrievalRouter
 
     rng = np.random.default_rng(0)
@@ -145,13 +149,13 @@ def main() -> None:
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         terms = docs[src][:, :: DOC_LEN // 6][:, :6]
         qtexts = [" ".join(map(str, row)) for row in terms]
-        qtids = jnp.asarray(bm25.encode_queries(qtexts))
-        return src, q, qtids
+        qterms = encode_for_fused(bm25, qtexts)
+        return src, q, qterms
 
     # Warmup / compile.
-    src, q, qtids = make_batch(12345)
+    src, q, qterms = make_batch(12345)
     t0 = time.time()
-    vals, pos = fused(state, q, qtids, router_vars)
+    vals, pos = fused(state, q, qterms, router_vars)
     np.asarray(vals)
     log(f"compile+first batch in {time.time()-t0:.1f}s")
 
@@ -163,7 +167,7 @@ def main() -> None:
     # impact-pruned sparse path).
     from rag_uq_tpu.ops import bm25 as bm25_ops
     import jax.numpy as _jnp
-    sub = qtids[:64]
+    sub = qterms["qtids"][:64]
     ex_scores = bm25_ops.score_all(
         state["indptr"], state["post_doc"], state["post_w"], sub,
         state["emb"].shape[0], 1 << 17,
@@ -171,7 +175,8 @@ def main() -> None:
     ev, ei = bm25_ops.topk_from_scores(ex_scores, K)
     fv, fi = bm25_ops.topk_twotier(
         state["low_ranges"], state["post_packed"],
-        state["term_row"], state["impact"], sub, K, beam=BEAM, approx=True,
+        state["term_row"], state["impact"],
+        sub, K, beam=BEAM, approx=True,
     )
     ev, ei, fi = np.asarray(ev), np.asarray(ei), np.asarray(fi)
     overlap = np.mean([
@@ -189,8 +194,8 @@ def main() -> None:
 
     t0 = time.time()
     outs = []
-    for _, q, qtids in batches:
-        outs.append(fused(state, q, qtids, router_vars))
+    for _, q, qterms_b in batches:
+        outs.append(fused(state, q, qterms_b, router_vars))
     # Device executes programs in order, so forcing a host transfer of the
     # final output synchronizes the whole loop (block_until_ready is not a
     # reliable barrier on relayed platforms).

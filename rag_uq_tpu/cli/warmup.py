@@ -31,7 +31,11 @@ def warmup(
 
     from rag_uq_tpu.core.types import Document
     from rag_uq_tpu.index.sparse import BM25Index
-    from rag_uq_tpu.retrieval.fused import build_index_state, make_fused_hybrid_query
+    from rag_uq_tpu.retrieval.fused import (
+        build_index_state,
+        encode_for_fused,
+        make_fused_hybrid_query,
+    )
     from rag_uq_tpu.router.model import RetrievalRouter
     from rag_uq_tpu.router.train import RouterTrainer
 
@@ -71,11 +75,11 @@ def warmup(
     for bsz in batch_sizes:
         q = jax.random.normal(jax.random.PRNGKey(1), (bsz, dim), jnp.float32)
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
-        qtids = jnp.asarray(bm25.encode_queries(
-            [" ".join(rng.choice(vocab, 6)) for _ in range(bsz)]
-        ))
+        qterms = encode_for_fused(
+            bm25, [" ".join(rng.choice(vocab, 6)) for _ in range(bsz)]
+        )
         t0 = time.time()
-        out = fused(state, q, qtids, rv)
+        out = fused(state, q, qterms, rv)
         np.asarray(out[0].ravel()[0])
         report[f"fused_compile_b{bsz}_s"] = round(time.time() - t0, 2)
 

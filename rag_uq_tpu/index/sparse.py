@@ -271,6 +271,7 @@ class BM25Index:
         packed[0, :n_post] = doc_s.astype(np.int32)
         packed[1, :n_post] = w_s.astype(np.float32).view(np.int32)
 
+        self._term_row_host = term_row
         self._device = {
             "indptr": jnp.asarray(indptr_p),
             "post_doc": jnp.asarray(pad_i32(doc_s, pcap)),

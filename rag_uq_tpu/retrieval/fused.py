@@ -87,14 +87,15 @@ def make_fused_hybrid_query(
 ):
     """Build the jitted fused query fn.
 
-    Returns fn(index_state, q_vecs, qtids, router_vars) ->
+    Returns fn(index_state, q_vecs, qterms, router_vars) ->
     (scores [B, k], positions [B, k]) where `index_state` is the dict from
-    `build_index_state` and `router_vars` is {"params", "stats"} or None for
-    the reference's fixed-weight fusion.
+    `build_index_state`, `qterms` the dict from `encode_for_fused`, and
+    `router_vars` is {"params", "stats"} or None for the reference's
+    fixed-weight fusion.
     """
 
     @partial(jax.jit, static_argnames=())
-    def fused(state: Dict[str, Any], q_vecs, qtids, router_vars=None):
+    def fused(state: Dict[str, Any], q_vecs, qterms, router_vars=None):
         emb = state["emb"]
         size = state["size"]
 
@@ -113,14 +114,14 @@ def make_fused_hybrid_query(
         if exact_bm25:
             all_scores = bm25_ops.score_all(
                 state["indptr"], state["post_doc"], state["post_w"],
-                qtids, emb.shape[0], max_df,
+                qterms["qtids"], emb.shape[0], max_df,
             )
             bvals, bidx = bm25_ops.topk_from_scores(all_scores, pool)
         else:
             bvals, bidx = bm25_ops.topk_twotier(
                 state["low_ranges"], state["post_packed"],
                 state["term_row"], state["impact"],
-                qtids, pool, beam=beam, approx=approx_topk,
+                qterms["qtids"], pool, beam=beam, approx=approx_topk,
             )
             dead = bvals <= 0.0
             bvals = jnp.where(dead, 0.0, bvals)
@@ -149,6 +150,13 @@ def make_fused_hybrid_query(
         return vals, out_pos
 
     return fused
+
+
+def encode_for_fused(bm25_index, queries) -> Dict[str, jax.Array]:
+    """Encode a query batch into the fused program's term inputs."""
+    import jax.numpy as jnp
+
+    return {"qtids": jnp.asarray(bm25_index.encode_queries(queries))}
 
 
 def build_index_state(dense_index, bm25_index) -> Dict[str, Any]:

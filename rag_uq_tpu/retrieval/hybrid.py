@@ -144,7 +144,10 @@ class HybridRetriever:
         mean-of-max-normalized fusion. `approx=False` uses exact top-k on
         every branch (slower; bit-comparable to `hybrid_search`).
         """
-        from rag_uq_tpu.retrieval.fused import make_fused_hybrid_query
+        from rag_uq_tpu.retrieval.fused import (
+            encode_for_fused,
+            make_fused_hybrid_query,
+        )
 
         state = self._fused_state()
         beam = self.bm25_index._sync()["beam"]
@@ -169,15 +172,13 @@ class HybridRetriever:
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)
-        qtids = self.bm25_index.encode_queries(queries)
+        qterms = encode_for_fused(self.bm25_index, queries)
         router_vars = (
             {"params": router.params, "stats": router.stats}
             if router is not None
             else None
         )
-        import jax.numpy as jnp
-
-        vals, pos = fused(state, q_vecs, jnp.asarray(qtids), router_vars)
+        vals, pos = fused(state, q_vecs, qterms, router_vars)
         return np.asarray(vals), np.asarray(pos)
 
     # -- hybrid search (parity :464-523) -----------------------------------------
