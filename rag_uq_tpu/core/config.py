@@ -47,6 +47,10 @@ class BM25Config:
     # capped and the threshold raised (beam widened) when more terms exceed
     # it — keeps memory bounded at any corpus size while staying exact.
     max_dense_tier_rows: int = 8192
+    # Hard byte budget for the impact matrix; rows are reduced further when
+    # rows * doc_capacity * itemsize would exceed it (keeps huge corpora
+    # buildable on one chip; sharded deployments split the budget per shard).
+    impact_budget_bytes: int = 2 << 30
     impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
 
 

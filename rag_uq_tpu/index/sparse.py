@@ -228,7 +228,13 @@ class BM25Index:
         # df <= threshold are fully covered by posting slices of length
         # `threshold`. indptr_low empties the dense-tier terms' ranges.
         thresh = self.config.dense_tier_threshold
-        max_rows = self.config.max_dense_tier_rows
+        itemsize = 2 if self.config.impact_dtype == "bfloat16" else np.dtype(
+            self.config.impact_dtype
+        ).itemsize
+        max_rows = min(
+            self.config.max_dense_tier_rows,
+            max(self.config.impact_budget_bytes // max(ncap * itemsize, 1), 8),
+        )
         if vsize and int((df > thresh).sum()) > max_rows:
             # Too many high-df terms for the memory budget: raise the
             # threshold to the (max_rows+1)-th largest df so at most
