@@ -182,7 +182,7 @@ def _low_tier_segsum(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "beam", "approx"))
+@partial(jax.jit, static_argnames=("k", "beam", "approx", "lsel"))
 def topk_twotier(
     low_ranges: jax.Array,  # [2, Vcap] (start, end), emptied for dense tier
     post_packed: jax.Array,  # [2, Pcap] packed (doc, bitcast weight)
@@ -192,6 +192,7 @@ def topk_twotier(
     k: int,
     beam: int,
     approx: bool = False,
+    lsel: int = 4096,
 ) -> Tuple[jax.Array, jax.Array]:
     """EXACT BM25 top-k via two-tier scoring, scatter-free.
 
@@ -225,6 +226,15 @@ def topk_twotier(
     ldocs, lsums = jax.vmap(
         lambda t: _low_tier_segsum(low_ranges, post_packed, t, beam)
     )(qtids)  # [B, Lq*beam]
+
+    if lsel and ldocs.shape[-1] > lsel:
+        # Large-corpus guard (the threshold auto-raise widens beams): keep
+        # only the lsel largest low-tier sums before the H gather. A dropped
+        # candidate's doc is still ranked via the top-k(H) branch; the only
+        # error is its missing low-tier sum, bounded by the lsel-th largest
+        # sum in the batch row.
+        lsums, sel = jax.lax.top_k(lsums, lsel)
+        ldocs = jnp.take_along_axis(ldocs, sel, axis=-1)
 
     lgather = jnp.take_along_axis(
         high, jnp.clip(ldocs, 0, ncap - 1).astype(jnp.int32), axis=-1
