@@ -358,6 +358,7 @@ class BM25Index:
                 dev["low_ranges"], dev["post_packed"],
                 dev["term_row"], dev["impact"],
                 qtids, top_k, beam=dev["beam"], approx=approx,
+                lsel=4096 if approx else 0,
             )
             dead = np.asarray(vals) <= 0.0
             return (

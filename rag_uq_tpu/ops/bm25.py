@@ -192,7 +192,7 @@ def topk_twotier(
     k: int,
     beam: int,
     approx: bool = False,
-    lsel: int = 4096,
+    lsel: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """EXACT BM25 top-k via two-tier scoring, scatter-free.
 
@@ -209,6 +209,9 @@ def topk_twotier(
     PartialReduce-based approx_max_k (~0.95 recall on that branch only —
     returned scores stay exact); exact top_k over [B, N] is ~20x slower on
     current XLA, so the hot path uses approx and parity tests use exact.
+    `lsel > 0` additionally truncates the low-tier candidate pool (see the
+    inline comment) and is only meaningful together with approx=True; with
+    the default lsel=0 and approx=False the op is exact.
     """
     ncap = impact.shape[1]
     tcap = impact.shape[0]
@@ -228,11 +231,12 @@ def topk_twotier(
     )(qtids)  # [B, Lq*beam]
 
     if lsel and ldocs.shape[-1] > lsel:
-        # Large-corpus guard (the threshold auto-raise widens beams): keep
+        # Opt-in approximation for wide-beam (budget-capped) corpora: keep
         # only the lsel largest low-tier sums before the H gather. A dropped
-        # candidate's doc is still ranked via the top-k(H) branch; the only
-        # error is its missing low-tier sum, bounded by the lsel-th largest
-        # sum in the batch row.
+        # candidate can be mis-scored (missing its low-tier sum, bounded by
+        # the lsel-th largest sum in its row) or, if its H alone is outside
+        # top-k(H), missed entirely — so this MUST stay off (lsel=0) on the
+        # exact path; callers enable it only alongside approx=True.
         lsums, sel = jax.lax.top_k(lsums, lsel)
         ldocs = jnp.take_along_axis(ldocs, sel, axis=-1)
 

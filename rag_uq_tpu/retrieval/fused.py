@@ -122,6 +122,7 @@ def make_fused_hybrid_query(
                 state["low_ranges"], state["post_packed"],
                 state["term_row"], state["impact"],
                 qterms["qtids"], pool, beam=beam, approx=approx_topk,
+                lsel=4096 if approx_topk else 0,
             )
             dead = bvals <= 0.0
             bvals = jnp.where(dead, 0.0, bvals)

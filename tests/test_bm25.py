@@ -151,3 +151,43 @@ class TestPersistence:
         np.testing.assert_allclose(
             idx2.score_all_batch(["w1 the"]), scores_before, rtol=1e-6
         )
+
+
+class TestLselTruncation:
+    def test_lsel_branch_bounded_error(self, corpus, index):
+        """The opt-in lsel truncation returns valid positions and scores
+        bounded above by the exact totals (dropped candidates may only lose
+        score, never gain)."""
+        from rag_uq_tpu.ops import bm25 as bm25_ops
+
+        dev = index._sync()
+        queries = ["w1 w2 the is a", "the is w3 w4 w5"]
+        qtids = index.encode_queries(queries)
+        import jax.numpy as jnp
+
+        full_v, full_i = bm25_ops.topk_twotier(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], jnp.asarray(qtids), 5, beam=dev["beam"],
+        )
+        trunc_v, trunc_i = bm25_ops.topk_twotier(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], jnp.asarray(qtids), 5, beam=dev["beam"],
+            lsel=8,  # force the truncation branch (Lq*beam > 8)
+        )
+        full_v, full_i = np.asarray(full_v), np.asarray(full_i)
+        trunc_v, trunc_i = np.asarray(trunc_v), np.asarray(trunc_i)
+        # Positions valid; scores never exceed the exact score of that doc.
+        exact_all = index.score_all_batch(queries)
+        for b in range(trunc_i.shape[0]):
+            for v, p in zip(trunc_v[b], trunc_i[b]):
+                if p >= 0:
+                    assert v <= exact_all[b, p] + 1e-3
+        # The top-1 (largest total) survives truncation with lsel=8 here.
+        assert trunc_i[0, 0] == full_i[0, 0]
+
+    def test_exact_path_has_no_truncation(self, index):
+        """Default lsel=0: results identical regardless of pool width."""
+        v1, i1 = index.search_batch(["w1 w2 the is"], top_k=5, exact=False)
+        # approx=False is the default; ensure deterministic across calls
+        v2, i2 = index.search_batch(["w1 w2 the is"], top_k=5, exact=False)
+        np.testing.assert_array_equal(i1, i2)
