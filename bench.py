@@ -32,7 +32,6 @@ N_BATCHES = 20
 K = 10
 POOL = 50
 BLOCK = 16_384
-BEAM = 128  # must match BM25Config.dense_tier_threshold
 
 
 def log(*args):
@@ -108,9 +107,9 @@ def main() -> None:
     t0 = time.time()
     bm25 = BM25Index()
     bm25.add_documents([Document(str(i), t) for i, t in enumerate(texts)])
-    bm25._sync()
+    beam = bm25._sync()["beam"]
     log(f"bm25 index built in {time.time()-t0:.1f}s "
-        f"({bm25._n_postings} postings, vocab {len(bm25.vocab)})")
+        f"({bm25._n_postings} postings, vocab {len(bm25.vocab)}, beam {beam})")
 
     # Dense matrix: random normalized doc vectors on device; queries are
     # noisy copies of source docs so recall is measurable.
@@ -134,7 +133,7 @@ def main() -> None:
     router = RetrievalRouter()
     router_vars = {"params": router.params, "stats": router.stats}
     fused = make_fused_hybrid_query(
-        router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=BEAM,
+        router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=beam,
         dense_mode="single_approx",
     )
 
@@ -176,7 +175,8 @@ def main() -> None:
     fv, fi = bm25_ops.topk_twotier(
         state["low_ranges"], state["post_packed"],
         state["term_row"], state["impact"],
-        sub, K, beam=BEAM, approx=True,
+        sub, K, beam=beam, approx=True,
+        impact_scale=state["impact_scale"],
     )
     ev, ei, fi = np.asarray(ev), np.asarray(ei), np.asarray(fi)
     overlap = np.mean([

@@ -249,16 +249,34 @@ class BM25Index:
 
         import ml_dtypes
 
-        impact_np_dtype = (
-            ml_dtypes.bfloat16
-            if self.config.impact_dtype == "bfloat16"
-            else np.dtype(self.config.impact_dtype)
-        )
-        impact = np.zeros((tcap, ncap), dtype=impact_np_dtype)
-        if n_post:
-            rows_of_post = term_row[tid_s]
-            m = rows_of_post >= 0
-            impact[rows_of_post[m], doc_s[m]] = w_s[m].astype(impact_np_dtype)
+        impact_scale = np.ones(tcap, dtype=np.float32)
+        if self.config.impact_dtype == "int8":
+            # Per-term symmetric quantization: row scale = max|w| / 127.
+            # Halves memory/traffic vs bf16 at ~0.4%-of-row-max score error.
+            impact = np.zeros((tcap, ncap), dtype=np.int8)
+            if n_post:
+                rows_of_post = term_row[tid_s]
+                m = rows_of_post >= 0
+                rows_m, docs_m, w_m = rows_of_post[m], doc_s[m], w_s[m]
+                row_max = np.zeros(tcap, dtype=np.float64)
+                np.maximum.at(row_max, rows_m, np.abs(w_m))
+                impact_scale = np.maximum(row_max / 127.0, 1e-12).astype(
+                    np.float32
+                )
+                impact[rows_m, docs_m] = np.clip(
+                    np.rint(w_m / impact_scale[rows_m]), -127, 127
+                ).astype(np.int8)
+        else:
+            impact_np_dtype = (
+                ml_dtypes.bfloat16
+                if self.config.impact_dtype == "bfloat16"
+                else np.dtype(self.config.impact_dtype)
+            )
+            impact = np.zeros((tcap, ncap), dtype=impact_np_dtype)
+            if n_post:
+                rows_of_post = term_row[tid_s]
+                m = rows_of_post >= 0
+                impact[rows_of_post[m], doc_s[m]] = w_s[m].astype(impact_np_dtype)
 
         # Explicit (start, end) ranges: a plain indptr cannot represent the
         # emptied dense-tier ranges since end_i aliases start_{i+1}.
@@ -286,6 +304,7 @@ class BM25Index:
             "post_packed": jnp.asarray(packed),
             "term_row": jnp.asarray(term_row),
             "impact": jnp.asarray(impact),
+            "impact_scale": jnp.asarray(impact_scale),
             "beam": int(_next_pow2(thresh, floor=8)),
             "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
             "n_docs_cap": int(ncap),
@@ -359,6 +378,7 @@ class BM25Index:
                 dev["term_row"], dev["impact"],
                 qtids, top_k, beam=dev["beam"], approx=approx,
                 lsel=4096 if approx else 0,
+                impact_scale=dev["impact_scale"],
             )
             dead = np.asarray(vals) <= 0.0
             return (

@@ -29,7 +29,7 @@ once per occurrence, as in `bm25.get_scores`.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -193,6 +193,7 @@ def topk_twotier(
     beam: int,
     approx: bool = False,
     lsel: int = 0,
+    impact_scale: Optional[jax.Array] = None,  # [T_cap] per-row int8 scales
 ) -> Tuple[jax.Array, jax.Array]:
     """EXACT BM25 top-k via two-tier scoring, scatter-free.
 
@@ -220,10 +221,18 @@ def topk_twotier(
     rows = jnp.where(valid_q, term_row[safe_q], -1)  # [B, Lq]
 
     # High tier: one-hot (counting repeated query terms) x impact matrix.
+    # For int8 impacts, the per-term dequantization scale folds into the
+    # one-hot (scale_t multiplies every contribution of term t), so the big
+    # matrix is read at 1 byte/element.
+    onehot_dtype = jnp.bfloat16 if impact.dtype == jnp.int8 else impact.dtype
     onehot = jnp.sum(
-        jax.nn.one_hot(rows, tcap, dtype=impact.dtype), axis=1
+        jax.nn.one_hot(rows, tcap, dtype=onehot_dtype), axis=1
     )  # [B, T]
-    high = jnp.dot(onehot, impact, preferred_element_type=jnp.float32)  # [B, N]
+    if impact_scale is not None:
+        onehot = onehot * impact_scale.astype(onehot_dtype)[None, :]
+    high = jnp.dot(
+        onehot, impact.astype(onehot_dtype), preferred_element_type=jnp.float32
+    )  # [B, N]
 
     # Low tier: per-query segment sums.
     ldocs, lsums = jax.vmap(

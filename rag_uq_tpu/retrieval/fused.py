@@ -123,6 +123,7 @@ def make_fused_hybrid_query(
                 state["term_row"], state["impact"],
                 qterms["qtids"], pool, beam=beam, approx=approx_topk,
                 lsel=4096 if approx_topk else 0,
+                impact_scale=state["impact_scale"],
             )
             dead = bvals <= 0.0
             bvals = jnp.where(dead, 0.0, bvals)
@@ -173,4 +174,5 @@ def build_index_state(dense_index, bm25_index) -> Dict[str, Any]:
         "post_packed": dev["post_packed"],
         "term_row": dev["term_row"],
         "impact": dev["impact"],
+        "impact_scale": dev["impact_scale"],
     }

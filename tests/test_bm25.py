@@ -191,3 +191,20 @@ class TestLselTruncation:
         # approx=False is the default; ensure deterministic across calls
         v2, i2 = index.search_batch(["w1 w2 the is"], top_k=5, exact=False)
         np.testing.assert_array_equal(i1, i2)
+
+
+class TestInt8Impacts:
+    def test_int8_close_to_exact(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(impact_dtype="int8",
+                                          dense_tier_threshold=8))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        queries = ["w1 w2 the", "the is a", "w10 w3"]
+        exact_v, exact_i = idx.search_batch(queries, top_k=5, exact=True)
+        fast_v, fast_i = idx.search_batch(queries, top_k=5, exact=False)
+        live = exact_v > 0.05
+        # 8-bit per-term quantization: scores within ~1% of row max.
+        np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=3e-2)
+        agree = np.mean(fast_i[live] == exact_i[live])
+        assert agree > 0.9
