@@ -176,7 +176,16 @@ def serve_http(
                     answer = generate_answer(llm, question, context)
                 else:
                     answer = hits[0]["text"] if hits else ""
-                self._send(200, {"answer": answer, "passages": hits})
+                from rag_uq_tpu.uq.conformal import ConformalRAG
+
+                confidence = 1.0 - ConformalRAG.estimate_nonconformity(
+                    answer, context
+                )
+                self._send(200, {
+                    "answer": answer,
+                    "confidence": confidence,
+                    "passages": hits,
+                })
             else:
                 self._send(404, {"error": "not found"})
 
