@@ -114,6 +114,23 @@ def main() -> None:
     print(f"conformal: reliable={pred.is_reliable} p={pred.p_value:.3f} "
           f"threshold={pred.metadata['threshold']:.3f}")
 
+    # --- 4b. Batched fused search + on-device generation -----------------------
+    vals, pos = retriever.hybrid_search_batch(
+        ["capital of France", "largest planet", "longest river in africa"],
+        top_k=3,
+    )
+    print("fused batched top-1 ids:",
+          [retriever.documents.ids[p[0]] for p in pos if p[0] >= 0])
+
+    from rag_uq_tpu import TinyLM
+    from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
+
+    lm = TinyLM(TinyLMConfig(dim=64, num_layers=2, num_heads=4, mlp_dim=128,
+                             max_prompt_len=64, max_total_len=128))
+    samples = lm.generate_batch(["hello"] * 4, [0.7, 0.9, 1.0, 1.1],
+                                [0.9] * 4, max_tokens=8, seed=0)
+    print(f"TinyLM on-device sampling: {len(samples)} samples")
+
     # --- 5. Evaluation protocol ------------------------------------------------
     evaluator = RAGEvaluator(output_dir=f"{tmp}/results")
     report = evaluator.run_full_evaluation(

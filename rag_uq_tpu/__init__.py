@@ -43,6 +43,8 @@ from rag_uq_tpu.eval.evaluator import RAGEvaluator
 from rag_uq_tpu.data.chunk import chunk_text
 from rag_uq_tpu.llm.mock import MockLLM
 from rag_uq_tpu.llm.tiny_lm import TinyLM
+from rag_uq_tpu.parallel.sharded_index import ShardedHybridIndex
+from rag_uq_tpu.cli.serve import QueryService
 
 __version__ = "0.1.0"
 
@@ -70,4 +72,6 @@ __all__ = [
     "chunk_text",
     "MockLLM",
     "TinyLM",
+    "ShardedHybridIndex",
+    "QueryService",
 ]
