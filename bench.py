@@ -27,8 +27,8 @@ N_DOCS = 100_000
 DIM = 768
 VOCAB = 30_000
 DOC_LEN = 40
-BATCH = 1024
-N_BATCHES = 20
+BATCH = 2048
+N_BATCHES = 10
 K = 10
 POOL = 50
 BLOCK = 16_384

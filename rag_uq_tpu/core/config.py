@@ -42,7 +42,7 @@ class BM25Config:
     # dense [T, N] per-doc impact matrix (scored by one MXU matmul for all
     # docs); terms with df <= threshold are scored from posting slices of
     # length `threshold` (fully covered => exact).
-    dense_tier_threshold: int = 128
+    dense_tier_threshold: int = 64
     # Upper bound on dense-tier rows: the impact matrix is [T, Ncap], so T is
     # capped and the threshold raised (beam widened) when more terms exceed
     # it — keeps memory bounded at any corpus size while staying exact.
