@@ -42,7 +42,7 @@ class TestConfig:
 
     def test_to_dict_roundtrippable(self):
         d = Config().to_dict()
-        assert d["bm25"]["dense_tier_threshold"] == 128
+        assert d["bm25"]["dense_tier_threshold"] == 64
 
 
 class TestEmbedders:
