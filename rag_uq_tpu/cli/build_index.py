@@ -36,12 +36,18 @@ def build_index_from_jsonl(
         dense_config=cfg.dense,
         embedder_config=cfg.embedder,
     )
+    # Stream without per-batch persistence (O(N^2) disk writes otherwise);
+    # the line-offset checkpoint still lands after every batch, and the
+    # index is saved once at the end.
+    retriever.bm25_index.autosave = False
     indexer = StreamingIndex(retriever, checkpoint_path=checkpoint_path,
                              batch_size=batch_size)
     total = 0
     for n in indexer.stream_from_jsonl(corpus_path, resume=resume):
         total += n
     logger.info("Indexed %d new documents (total %d)", total, len(retriever))
+    if bm25_persist_path and total:
+        retriever.bm25_index.save()
     if dense_persist_directory:
         retriever.dense_index.save(dense_persist_directory)
     return retriever

@@ -146,10 +146,10 @@ class DenseIndex:
         return jnp.asarray(vecs / np.maximum(norms, 1e-12))
 
     def search_batch(
-        self, queries: Sequence[str], top_k: int = 10
+        self, queries: Sequence[str], top_k: int = 10, q_vecs=None
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched exact top-k: (scores [B, k], doc positions [B, k])."""
-        q = self.embed_queries(queries)
+        q = self.embed_queries(queries) if q_vecs is None else q_vecs
         vals, idx = cosine_topk(
             self._emb, q, jnp.int32(self._size), top_k, self.config.score_block
         )
@@ -169,10 +169,10 @@ class DenseIndex:
         return out
 
     def score_positions_batch(
-        self, queries: Sequence[str], positions: np.ndarray
+        self, queries: Sequence[str], positions: np.ndarray, q_vecs=None
     ) -> np.ndarray:
         """Cosine scores for specific doc positions [B, P] (-1 -> 0.0)."""
-        q = self.embed_queries(queries)
+        q = self.embed_queries(queries) if q_vecs is None else q_vecs
         return np.asarray(
             gather_scores(self._emb, q, jnp.asarray(positions.astype(np.int32)))
         )

@@ -47,11 +47,16 @@ class BM25Index:
         b: float = 0.75,
         config: Optional[BM25Config] = None,
         use_native: str = "auto",  # "auto" | "always" | "never"
+        autosave: bool = True,
     ):
+        # autosave=True persists after every add (reference semantics,
+        # streaming_index.py:145-146) — O(total) disk writes per batch.
+        # Streaming builders set autosave=False and call save() once.
         self.config = config or BM25Config(k1=k1, b=b)
         self.k1 = self.config.k1
         self.b = self.config.b
         self.persist_path = Path(persist_path) if persist_path else None
+        self.autosave = autosave
 
         self.vocab = Vocab()
         self.store = DocStore()
@@ -106,8 +111,6 @@ class BM25Index:
         """Add new documents (dedup by id). Returns number added."""
         fresh = [doc for doc in documents if doc.id not in self.store]
         if not fresh:
-            if self.persist_path:
-                self._save()
             return 0
 
         if self._native is not None:
@@ -119,7 +122,7 @@ class BM25Index:
         logger.info(
             "Added %d documents to BM25 index. Total: %d", len(fresh), len(self)
         )
-        if self.persist_path:
+        if self.persist_path and self.autosave:
             self._save()
         return len(fresh)
 
@@ -306,6 +309,7 @@ class BM25Index:
             "impact": jnp.asarray(impact),
             "impact_scale": jnp.asarray(impact_scale),
             "beam": int(_next_pow2(thresh, floor=8)),
+            "nonneg": bool(w_s.min() >= 0) if n_post else True,
             "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
             "n_docs_cap": int(ncap),
         }
@@ -341,10 +345,14 @@ class BM25Index:
             out[i, : len(ids)] = ids
         return out
 
-    def score_all_batch(self, queries: Sequence[str]) -> np.ndarray:
+    def score_all_batch(
+        self, queries: Sequence[str], qtids: Optional[np.ndarray] = None
+    ) -> np.ndarray:
         """Exhaustive BM25 scores [B, n_docs] (reference get_scores parity)."""
         dev = self._sync()
-        qtids = jnp.asarray(self.encode_queries(queries))
+        qtids = jnp.asarray(
+            self.encode_queries(queries) if qtids is None else qtids
+        )
         scores = bm25_ops.score_all(
             dev["indptr"], dev["post_doc"], dev["post_w"],
             qtids, dev["n_docs_cap"], dev["max_df"],
@@ -357,6 +365,7 @@ class BM25Index:
         top_k: int = 10,
         exact: bool = True,
         approx: bool = False,
+        qtids: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched top-k: (scores [B, k], doc positions [B, k], -1 = dead).
 
@@ -365,7 +374,9 @@ class BM25Index:
         results up to impact-matrix storage-dtype rounding and ties).
         """
         dev = self._sync()
-        qtids = jnp.asarray(self.encode_queries(queries))
+        qtids = jnp.asarray(
+            self.encode_queries(queries) if qtids is None else qtids
+        )
         if exact:
             scores = bm25_ops.score_all(
                 dev["indptr"], dev["post_doc"], dev["post_w"],
@@ -379,6 +390,7 @@ class BM25Index:
                 qtids, top_k, beam=dev["beam"], approx=approx,
                 lsel=4096 if approx else 0,
                 impact_scale=dev["impact_scale"],
+                nonneg=dev["nonneg"],
             )
             dead = np.asarray(vals) <= 0.0
             return (
@@ -388,11 +400,16 @@ class BM25Index:
         return np.asarray(vals), np.asarray(idx)
 
     def score_positions_batch(
-        self, queries: Sequence[str], positions: np.ndarray
+        self,
+        queries: Sequence[str],
+        positions: np.ndarray,
+        qtids: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Exact BM25 scores for given doc positions [B, P] (-1 padded)."""
         dev = self._sync()
-        qtids = jnp.asarray(self.encode_queries(queries))
+        qtids = jnp.asarray(
+            self.encode_queries(queries) if qtids is None else qtids
+        )
         scores = bm25_ops.score_docs(
             dev["indptr"], dev["post_doc"], dev["post_w"],
             qtids, jnp.asarray(positions.astype(np.int32)),
@@ -414,6 +431,12 @@ class BM25Index:
         return self.store.get(doc_id)
 
     # -- persistence -------------------------------------------------------------
+
+    def save(self, path: Optional[str] = None) -> None:
+        """Persist now (used with autosave=False streaming builds)."""
+        if path is not None:
+            self.persist_path = Path(path)
+        self._save()
 
     def _save(self) -> None:
         if self.persist_path is None:

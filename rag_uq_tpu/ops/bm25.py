@@ -182,7 +182,7 @@ def _low_tier_segsum(
     )
 
 
-@partial(jax.jit, static_argnames=("k", "beam", "approx", "lsel"))
+@partial(jax.jit, static_argnames=("k", "beam", "approx", "lsel", "nonneg"))
 def topk_twotier(
     low_ranges: jax.Array,  # [2, Vcap] (start, end), emptied for dense tier
     post_packed: jax.Array,  # [2, Pcap] packed (doc, bitcast weight)
@@ -194,6 +194,7 @@ def topk_twotier(
     approx: bool = False,
     lsel: int = 0,
     impact_scale: Optional[jax.Array] = None,  # [T_cap] per-row int8 scales
+    nonneg: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """EXACT BM25 top-k via two-tier scoring, scatter-free.
 
@@ -248,6 +249,22 @@ def topk_twotier(
         # exact path; callers enable it only alongside approx=True.
         lsums, sel = jax.lax.top_k(lsums, lsel)
         ldocs = jnp.take_along_axis(ldocs, sel, axis=-1)
+
+    if not nonneg:
+        # Degenerate corpora (average idf < 0 after the rank_bm25 epsilon
+        # floor) can carry NEGATIVE low-tier impacts, which breaks the
+        # merge containment argument below (top-k(H+L) need not be inside
+        # top-k(H) ∪ docs(L) when L can push docs DOWN). Fall back to an
+        # unconditionally exact scatter of L into the H matrix.
+        b_ix = jnp.arange(high.shape[0], dtype=jnp.int32)[:, None]
+        safe_docs = jnp.clip(ldocs, 0, ncap - 1).astype(jnp.int32)
+        add = jnp.where(ldocs >= 0, lsums, 0.0)
+        total = high.at[b_ix, safe_docs].add(add)
+        if approx:
+            vals, docs = jax.lax.approx_max_k(total, k)
+        else:
+            vals, docs = jax.lax.top_k(total, k)
+        return vals, docs.astype(jnp.int32)
 
     lgather = jnp.take_along_axis(
         high, jnp.clip(ldocs, 0, ncap - 1).astype(jnp.int32), axis=-1

@@ -148,8 +148,9 @@ class ShardedHybridIndex:
             else np.zeros((0, self.dense_config.embedding_dim), np.float32)
         )
         np.save(out / "embeddings.npy", emb)
-        self.bm25.persist_path = out / "bm25.json"
-        self.bm25._save()
+        prev_path, prev_auto = self.bm25.persist_path, self.bm25.autosave
+        self.bm25.save(str(out / "bm25.json"))
+        self.bm25.persist_path, self.bm25.autosave = prev_path, prev_auto
         with open(out / "manifest.json", "w") as f:
             json.dump(
                 {"n_docs": len(self), "dim": self.dense_config.embedding_dim}, f

@@ -54,20 +54,29 @@ def make_sharded_dense_topk(mesh: Mesh, k: int, block: int = 8192):
         shard_cap = emb_local.shape[0]
         i = jax.lax.axis_index(CORPUS_AXIS)
         local_size = jnp.clip(size - i * shard_cap, 0, shard_cap)
+        # A shard holds at most shard_cap docs, so a local top-min(k, cap)
+        # suffices for an exact global merge (and cosine_topk requires
+        # k <= block <= shard_cap).
+        k_local = min(k, shard_cap)
         vals, idx = cosine_topk(
-            emb_local, queries, local_size, k, min(block, shard_cap)
+            emb_local, queries, local_size, k_local, min(block, shard_cap)
         )
         idx = jnp.where(idx >= 0, idx + i * shard_cap, -1)
         # Merge per-shard top-k over ICI: all-gather the (score, id) pairs,
         # then every shard selects the global top-k (replicated output).
-        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)  # [S, B, k]
+        all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)  # [S, B, k_local]
         all_idx = jax.lax.all_gather(idx, CORPUS_AXIS)
         bsz = vals.shape[0]
-        cat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bsz, n_shards * k)
-        cat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bsz, n_shards * k)
-        mv, sel = jax.lax.top_k(cat_v, k)
+        cat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bsz, n_shards * k_local)
+        cat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bsz, n_shards * k_local)
+        k_out = min(k, n_shards * k_local)
+        mv, sel = jax.lax.top_k(cat_v, k_out)
         mi = jnp.take_along_axis(cat_i, sel, axis=-1)
         mi = jnp.where(jnp.isneginf(mv), -1, mi)
+        if k_out < k:  # pad to the requested width with dead slots
+            pad = ((0, 0), (0, k - k_out))
+            mv = jnp.pad(mv, pad, constant_values=-jnp.inf)
+            mi = jnp.pad(mi, pad, constant_values=-1)
         return mv, mi
 
     return sharded_topk

@@ -83,8 +83,14 @@ def make_fused_hybrid_query(
     approx_topk: bool = True,
     exact_bm25: bool = False,
     dense_mode: str = "single",  # "single" | "single_approx" | "stream"
-    max_df: int = 1 << 16,
+    max_df: Optional[int] = None,  # REQUIRED with exact_bm25 (index max df)
+    nonneg: bool = True,  # pass the index's dev["nonneg"] flag
 ):
+    if exact_bm25 and max_df is None:
+        raise ValueError(
+            "exact_bm25=True needs max_df=bm25_index._sync()['max_df'] — a "
+            "default cap would silently truncate postings of common terms"
+        )
     """Build the jitted fused query fn.
 
     Returns fn(index_state, q_vecs, qterms, router_vars) ->
@@ -124,6 +130,7 @@ def make_fused_hybrid_query(
                 qterms["qtids"], pool, beam=beam, approx=approx_topk,
                 lsel=4096 if approx_topk else 0,
                 impact_scale=state["impact_scale"],
+                nonneg=nonneg,
             )
             dead = bvals <= 0.0
             bvals = jnp.where(dead, 0.0, bvals)

@@ -90,10 +90,16 @@ class HybridRetriever:
         """
         n = len(self.documents)
         pool = min(pool_size, max(n, 1))
+        # Encode once; both the pool searches and the union-pool rescoring
+        # reuse the same query vectors/term ids.
+        q_vecs = self.dense_index.embed_queries(queries)
+        qtids = self.bm25_index.encode_queries(queries)
         b_scores, b_pos = self.bm25_index.search_batch(
-            queries, top_k=pool, exact=exact_bm25
+            queries, top_k=pool, exact=exact_bm25, qtids=qtids
         )
-        d_scores, d_pos = self.dense_index.search_batch(queries, top_k=pool)
+        d_scores, d_pos = self.dense_index.search_batch(
+            queries, top_k=pool, q_vecs=q_vecs
+        )
 
         # Union with dedup: prefer the first occurrence (bm25 block first).
         cat = np.concatenate([b_pos, d_pos], axis=1)  # [B, 2*pool]
@@ -109,8 +115,12 @@ class HybridRetriever:
                     positions[i, j] = p
                     j += 1
 
-        bm25 = np.array(self.bm25_index.score_positions_batch(queries, positions))
-        dense = np.array(self.dense_index.score_positions_batch(queries, positions))
+        bm25 = np.array(
+            self.bm25_index.score_positions_batch(queries, positions, qtids=qtids)
+        )
+        dense = np.array(
+            self.dense_index.score_positions_batch(queries, positions, q_vecs=q_vecs)
+        )
         dead = positions < 0
         bm25[dead] = 0.0
         dense[dead] = 0.0
@@ -150,12 +160,13 @@ class HybridRetriever:
         )
 
         state = self._fused_state()
-        beam = self.bm25_index._sync()["beam"]
+        dev = self.bm25_index._sync()
+        beam, nonneg = dev["beam"], dev["nonneg"]
         pool = min(retrieval_pool_size, max(len(self.documents), 1))
         # Cache the jitted program per static configuration: a fresh closure
         # per call would retrace/recompile every request.
         key = (
-            min(top_k, 2 * pool), pool, beam, approx,
+            min(top_k, 2 * pool), pool, beam, approx, nonneg,
             id(router.module) if router is not None else None,
         )
         if not hasattr(self, "_fused_fns"):
@@ -169,6 +180,7 @@ class HybridRetriever:
                 beam=beam,
                 approx_topk=approx,
                 dense_mode="single",
+                nonneg=nonneg,
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)
@@ -199,8 +211,11 @@ class HybridRetriever:
         live = positions >= 0
         if not live.any():
             return []
-        max_bm25 = bm25[live].max() or 1.0
-        max_dense = dense[live].max() or 1.0
+        # Guard against non-positive column maxima (possible here because we
+        # compute exact union-pool scores, unlike the reference's 0.0 fill):
+        # dividing by a negative max would invert the ranking.
+        max_bm25 = max(float(bm25[live].max()), 1e-12)
+        max_dense = max(float(dense[live].max()), 1e-12)
 
         results = []
         for pos, bs, ds in zip(positions[live], bm25[live], dense[live]):

@@ -208,3 +208,29 @@ class TestInt8Impacts:
         np.testing.assert_allclose(fast_v[live], exact_v[live], rtol=3e-2)
         agree = np.mean(fast_i[live] == exact_i[live])
         assert agree > 0.9
+
+
+class TestNegativeImpactCorpus:
+    def test_twotier_exact_with_negative_weights(self):
+        """Degenerate corpus (avg idf < 0 -> negative epsilon-floored
+        weights): the two-tier op must fall back to the scatter path and
+        still match the exhaustive oracle."""
+        from rag_uq_tpu.core.config import BM25Config
+
+        # Vocabulary dominated by all-doc terms -> average idf < 0 -> the
+        # rank_bm25 epsilon floor assigns NEGATIVE weights.
+        shared = " ".join(f"c{j}" for j in range(10))
+        docs = [
+            Document(str(i), f"{shared} tag{i % 3}") for i in range(12)
+        ]
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=2))
+        idx.add_documents(docs)
+        dev = idx._sync()
+        assert not dev["nonneg"]  # the degenerate regime is detected
+        queries = ["c1 c2 tag0", "c3 c4 c5", "tag2 c0"]
+        ev, ei = idx.search_batch(queries, top_k=3, exact=True)
+        fv, fi = idx.search_batch(queries, top_k=3, exact=False)
+        live = ev > 0
+        np.testing.assert_allclose(fv[live], ev[live], rtol=1e-5)
+        np.testing.assert_array_equal(fi[live], ei[live])

@@ -110,3 +110,22 @@ class TestShardedBM25:
             np.asarray(mv)[live], np.asarray(sv)[live], rtol=1e-5
         )
         np.testing.assert_array_equal(np.asarray(mi)[live], np.asarray(si)[live])
+
+
+class TestPoolExceedsShardCap:
+    def test_pool_larger_than_shard(self, rng):
+        """pool > per-shard capacity must not crash and stays exact."""
+        mesh = make_mesh(8)
+        cap, dim = 1024, 32  # shard_cap = 128 < pool 200
+        emb = rng.normal(size=(cap, dim)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.normal(size=(3, dim)).astype(np.float32)
+        size = 1000
+        sharded = make_sharded_dense_topk(mesh, k=200, block=128)
+        sv, si = sharded(
+            shard_corpus_matrix(jnp.asarray(emb), mesh),
+            jnp.asarray(q), jnp.int32(size),
+        )
+        ov, oi = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
+                             jnp.int32(size), 200, block=256)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
