@@ -173,13 +173,17 @@ def run_ablation_study(
     evaluator = RAGEvaluator(output_dir=output_dir)
     arms: Dict[str, Dict] = {}
 
+    # Gold ids depend only on (corpus, answers): compute once, reuse per arm
+    # (the substring scan over the corpus is the expensive part).
+    gold = [
+        _pseudo_gold_ids(
+            retriever, sample.get("answers") or [sample.get("answer", "")]
+        )
+        for sample in samples
+    ]
+
     def eval_arm(name: str, retrieve_fn) -> None:
-        retrieved, gold, mrr_rows = [], [], []
-        for sample in samples:
-            answers = sample.get("answers") or [sample.get("answer", "")]
-            ids = retrieve_fn(sample["question"])
-            retrieved.append(ids)
-            gold.append(_pseudo_gold_ids(retriever, answers))
+        retrieved = [retrieve_fn(sample["question"]) for sample in samples]
         metrics = evaluator.evaluate_retrieval(retrieved, gold)
         arms[name] = metrics.to_dict()
 

@@ -62,11 +62,26 @@ class QueryService:
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
+        # Release any requests still queued so callers never hang.
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.result = [[] for _ in req.queries]
+            req.event.set()
 
     def search(self, queries: List[str], k: int = 10) -> List[List[Dict[str, Any]]]:
+        if self._stop.is_set():
+            raise RuntimeError("QueryService is closed")
         req = _Pending(queries=queries, k=k)
         self._queue.put(req)
-        req.event.wait()
+        # Bounded waits so a dead worker surfaces as an error, not a hang.
+        while not req.event.wait(timeout=1.0):
+            if not self._worker.is_alive() or self._stop.is_set():
+                if req.event.is_set():
+                    break
+                raise RuntimeError("QueryService worker stopped")
         assert req.result is not None
         return req.result
 
@@ -163,6 +178,8 @@ def serve_http(
                 return
             if self.path == "/search":
                 queries = payload.get("queries") or [payload.get("query", "")]
+                if isinstance(queries, str):  # one query, not its characters
+                    queries = [queries]
                 k = int(payload.get("k", 10))
                 self._send(200, {"results": service.search(list(queries), k)})
             elif self.path == "/answer":

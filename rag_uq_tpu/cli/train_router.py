@@ -27,7 +27,7 @@ from rag_uq_tpu.core.config import RouterConfig, TrainConfig
 from rag_uq_tpu.data.loaders import load_qa_jsonl, synthetic_router_data
 from rag_uq_tpu.eval.plots import plot_training_curves
 from rag_uq_tpu.retrieval.hybrid import HybridRetriever
-from rag_uq_tpu.router.labels import create_pseudo_labels
+from rag_uq_tpu.router.labels import aligned_pseudo_labels
 from rag_uq_tpu.router.model import RetrievalRouter
 from rag_uq_tpu.router.train import RouterTrainer
 
@@ -47,12 +47,12 @@ def prepare_training_data(
         bm25, dense, _ids, texts = retriever.get_scores_for_router(
             question, num_passages=num_passages
         )
-        # Max pseudo-label over the sample's answers.
+        # Max pseudo-label over the sample's answers, aligned POSITIONALLY
+        # with the score arrays (create_pseudo_labels dedups passages, which
+        # would misalign labels when retrieved texts repeat).
         labels = np.zeros(num_passages, dtype=np.float32)
         for ans in answers:
-            labels = np.maximum(
-                labels, create_pseudo_labels(texts, texts, ans, num_passages)
-            )
+            labels = np.maximum(labels, aligned_pseudo_labels(texts, ans))
         bm25_all.append(bm25)
         dense_all.append(dense)
         rel_all.append(labels)

@@ -97,18 +97,26 @@ class TinyLM:
         dummy_pos = jnp.zeros((1, 1), dtype=jnp.int32)
         self.params = self.model.init(rng, dummy_tok, dummy_pos)["params"]
         self._samplers = {}
+        self._cache_templates = {}
 
     def load_params(self, params) -> None:
         self.params = params
 
     def _init_cache(self, batch: int):
-        cfg = self.config
-        variables = self.model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
-            jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
-        )
-        return variables["cache"]
+        # The zeroed cache template per batch size is memoized: rebuilding it
+        # via model.init would run a full dummy forward (and allocate a
+        # throwaway parameter set) on every generate call.
+        template = self._cache_templates.get(batch)
+        if template is None:
+            cfg = self.config
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
+                jnp.zeros((batch, cfg.max_total_len), dtype=jnp.int32),
+            )
+            template = variables["cache"]
+            self._cache_templates[batch] = template
+        return jax.tree.map(jnp.zeros_like, template)
 
     def _get_sampler(self, batch: int, max_tokens: int, prompt_len: int):
         key = (batch, max_tokens, prompt_len)

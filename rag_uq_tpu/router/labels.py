@@ -18,6 +18,31 @@ from typing import List, Sequence
 import numpy as np
 
 
+def relevance_of(passage: str, answer: str) -> float:
+    """Single-passage pseudo-relevance: 1.0 on answer substring, else the
+    answer-token overlap fraction (the reference's scoring rule,
+    router.py:548-555)."""
+    answer_lower = answer.lower()
+    passage_lower = passage.lower()
+    if answer_lower and answer_lower in passage_lower:
+        return 1.0
+    answer_tokens = set(answer_lower.split())
+    if not answer_tokens:
+        return 0.0
+    return len(answer_tokens & set(passage_lower.split())) / len(answer_tokens)
+
+
+def aligned_pseudo_labels(texts, answer: str) -> np.ndarray:
+    """Position-aligned labels for a retrieved passage list (no dedup):
+    labels[i] scores texts[i], so they stay aligned with positionally
+    aligned score arrays even when retrieved texts repeat. Empty padding
+    slots get 0."""
+    return np.asarray(
+        [relevance_of(t, answer) if t else 0.0 for t in texts],
+        dtype=np.float32,
+    )
+
+
 def create_pseudo_labels(
     bm25_passages: Sequence[str],
     dense_passages: Sequence[str],

@@ -146,6 +146,9 @@ class RetrievalRouter:
         dense_scores = jnp.asarray(dense_scores, dtype=jnp.float32)
         variables = {"params": self.params, "stats": self.stats, **self.extra}
         if self._training:
+            # All non-param collections (EMA stats, and batch_stats when
+            # use_batch_norm is on) mutate during training.
+            mutable = ["stats"] + list(self.extra.keys())
             weights, updated = self.module.apply(
                 variables,
                 bm25_scores,
@@ -153,9 +156,12 @@ class RetrievalRouter:
                 update_stats=update_stats,
                 train=True,
                 rngs={"dropout": self._next_dropout()},
-                mutable=["stats"],
+                mutable=mutable,
             )
             self.stats = updated["stats"]
+            for key in self.extra:
+                if key in updated:
+                    self.extra[key] = updated[key]
         else:
             weights = self.module.apply(
                 variables,

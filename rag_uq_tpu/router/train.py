@@ -65,33 +65,34 @@ class RouterTrainer:
         module = self.router.module
         temperature = self.router.config.temperature
 
-        def loss_fn(params, stats, bm25, dense, rel, dropout_rng):
+        def loss_fn(params, mutables, bm25, dense, rel, dropout_rng):
+            # mutables = {"stats": ..., plus batch_stats when use_batch_norm}.
             weights, updated = module.apply(
-                {"params": params, "stats": stats},
+                {"params": params, **mutables},
                 bm25,
                 dense,
                 update_stats=True,
                 train=True,
                 rngs={"dropout": dropout_rng},
-                mutable=["stats"],
+                mutable=list(mutables.keys()),
             )
             hybrid = weights * dense + (1 - weights) * bm25
             loss = approx_ndcg_loss(hybrid, rel, None, temperature)
-            return loss, updated["stats"]
+            return loss, dict(updated)
 
         @jax.jit
-        def train_step(params, stats, opt_state, bm25, dense, rel, rng):
-            (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, stats, bm25, dense, rel, rng
-            )
+        def train_step(params, mutables, opt_state, bm25, dense, rel, rng):
+            (loss, new_mutables), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, mutables, bm25, dense, rel, rng)
             updates, new_opt_state = self.optimizer.update(grads, opt_state, params)
             new_params = optax.apply_updates(params, updates)
-            return new_params, new_stats, new_opt_state, loss
+            return new_params, new_mutables, new_opt_state, loss
 
         @jax.jit
-        def eval_step(params, stats, bm25, dense, rel):
+        def eval_step(params, mutables, bm25, dense, rel):
             weights = module.apply(
-                {"params": params, "stats": stats},
+                {"params": params, **mutables},
                 bm25,
                 dense,
                 update_stats=False,
@@ -116,19 +117,22 @@ class RouterTrainer:
         """One optimizer step on the given (mini)batch (parity :370-402)."""
         bm25, dense, rel = (jnp.asarray(a, dtype=jnp.float32) for a in train_data)
         self._rng, sub = jax.random.split(self._rng)
-        params, stats, opt_state, loss = self._train_step(
-            self.router.params, self.router.stats, self.opt_state,
+        mutables = {"stats": self.router.stats, **self.router.extra}
+        params, mutables, opt_state, loss = self._train_step(
+            self.router.params, mutables, self.opt_state,
             bm25, dense, rel, sub,
         )
         self.router.params = params
-        self.router.stats = stats
+        self.router.stats = mutables.pop("stats")
+        self.router.extra = mutables
         self.opt_state = opt_state
         return float(loss)
 
     def validate(self, val_data: TrainData) -> float:
         bm25, dense, rel = (jnp.asarray(a, dtype=jnp.float32) for a in val_data)
+        mutables = {"stats": self.router.stats, **self.router.extra}
         return float(
-            self._eval_step(self.router.params, self.router.stats, bm25, dense, rel)
+            self._eval_step(self.router.params, mutables, bm25, dense, rel)
         )
 
     def _plateau_step(self, val_loss: float) -> None:

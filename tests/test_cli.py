@@ -215,3 +215,39 @@ class TestServe:
         finally:
             server.shutdown()
             service.close()
+
+
+class TestServeRobustness:
+    def test_close_releases_waiters_and_rejects_new(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+        service.search(["topic1"], k=1)  # warm
+        service.close()
+        with pytest.raises(RuntimeError):
+            service.search(["topic2"], k=1)
+
+    def test_string_queries_treated_as_one_query(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+        server = serve_http(service, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"queries": "topic3 number 8", "k": 2}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert len(body["results"]) == 1  # one query, not 14 characters
+        finally:
+            server.shutdown()
+            service.close()

@@ -220,3 +220,25 @@ class TestPseudoLabels:
         )
         # unique order: ["paris here", "other", "third"]
         assert labels[0] == 1.0 and labels[1] == 0.0 and labels[2] == 0.0
+
+
+class TestBatchNorm:
+    def test_batch_norm_trains(self):
+        """use_batch_norm=True must train without crashing (batch_stats is
+        threaded through the mutable collections)."""
+        from rag_uq_tpu.data.loaders import synthetic_router_data
+
+        router = RetrievalRouter(RouterConfig(use_batch_norm=True))
+        assert "batch_stats" in router.extra
+        bm25, dense, rel = synthetic_router_data(32, 10)
+        router.train()
+        w = np.asarray(router(bm25, dense))
+        assert ((w >= 0) & (w <= 1)).all()
+
+        trainer = RouterTrainer(router, checkpoint_dir="/tmp/bn_router")
+        loss1 = trainer.train_epoch((bm25, dense, rel))
+        loss2 = trainer.train_epoch((bm25, dense, rel))
+        assert np.isfinite(loss1) and np.isfinite(loss2)
+        router.eval()
+        w = np.asarray(router(bm25, dense))
+        assert np.isfinite(w).all()
