@@ -107,8 +107,8 @@ class ChunkConfig:
 
     chunk_size: int = 200  # words
     overlap: int = 50  # words
-    min_chunk_size: int = 50  # words
-    max_chunk_chars: int = 2000
+    min_chunk_size: int = 50  # CHARACTERS (reference min_chunk_length)
+    max_chunk_chars: int = 2000  # characters
 
 
 @dataclass

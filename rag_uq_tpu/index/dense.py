@@ -100,7 +100,11 @@ class DenseIndex:
         self, documents: Sequence[Document], batch_size: int = 256
     ) -> int:
         """Embed and append new documents (dedup by id). Returns count added."""
-        new_docs = [d for d in documents if d.id not in self.store]
+        seen = {}
+        for doc in documents:
+            if doc.id not in self.store and doc.id not in seen:
+                seen[doc.id] = doc
+        new_docs = list(seen.values())
         if not new_docs:
             logger.info("No new documents to add")
             return 0

@@ -109,7 +109,12 @@ class BM25Index:
 
     def add_documents(self, documents: Sequence[Document]) -> int:
         """Add new documents (dedup by id). Returns number added."""
-        fresh = [doc for doc in documents if doc.id not in self.store]
+        # Dedup against the store AND within the batch (first wins).
+        seen = {}
+        for doc in documents:
+            if doc.id not in self.store and doc.id not in seen:
+                seen[doc.id] = doc
+        fresh = list(seen.values())
         if not fresh:
             return 0
 
@@ -172,11 +177,13 @@ class BM25Index:
         self._tf[s : s + n] = tfs
         self._n_postings += n
 
-    def _sync(self) -> Dict[str, object]:
-        """(Re)build device CSR arrays from host buffers. Lazy: only if dirty."""
-        if self._device is not None and not self._dirty:
-            return self._device
+    def host_csr(self) -> Dict[str, object]:
+        """Host-side CSR with precomputed impacts (no device allocation).
 
+        Used by the sharded index to reshard postings without materializing
+        the single-chip device state (notably the budgeted impact matrix).
+        Returns {indptr (int64, [V+1]), doc, w, df, max_df, n_docs}.
+        """
         n_docs = len(self.store)
         n_post = self._n_postings
         vsize = len(self.vocab)
@@ -207,6 +214,27 @@ class BM25Index:
         dl = doc_len[doc_s] if n_docs else np.zeros(0)
         denom = tf_s + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
         w_s = idf[tid_s] * tf_s * (self.k1 + 1.0) / np.maximum(denom, 1e-12)
+        return {
+            "indptr": indptr,
+            "tid": tid_s,
+            "doc": doc_s,
+            "w": w_s,
+            "df": df,
+            "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
+            "n_docs": n_docs,
+        }
+
+    def _sync(self) -> Dict[str, object]:
+        """(Re)build device CSR arrays from host buffers. Lazy: only if dirty."""
+        if self._device is not None and not self._dirty:
+            return self._device
+
+        csr = self.host_csr()
+        n_docs = len(self.store)
+        n_post = self._n_postings
+        vsize = len(self.vocab)
+        indptr, doc_s, w_s, df = csr["indptr"], csr["doc"], csr["w"], csr["df"]
+        tid_s = csr["tid"]
 
         pcap = _next_pow2(max(n_post, 1), floor=1024)
         vcap = _next_pow2(max(vsize, 1), floor=1024)

@@ -56,6 +56,7 @@ class ShardedHybridIndex:
         )
         # Host-side build state: the BM25Index host buffers double as the doc
         # store; dense embeddings accumulate on host and shard at sync.
+        self._bm25_config = bm25_config
         self.bm25 = BM25Index(config=bm25_config)
         self._host_emb: list = []
         self._synced: Optional[Dict[str, object]] = None
@@ -69,7 +70,11 @@ class ShardedHybridIndex:
         return self.bm25.store
 
     def add_documents(self, documents: Sequence[Document], batch_size: int = 256):
-        fresh = [d for d in documents if d.id not in self.bm25.store]
+        seen = {}
+        for d in documents:
+            if d.id not in self.bm25.store and d.id not in seen:
+                seen[d.id] = d
+        fresh = list(seen.values())
         for i in range(0, len(fresh), batch_size):
             batch = fresh[i : i + batch_size]
             vecs = np.asarray(self.embedder.encode([d.text for d in batch]))
@@ -96,12 +101,16 @@ class ShardedHybridIndex:
             jnp.asarray(emb).astype(jnp.dtype(self.dense_config.dtype)), self.mesh
         )
 
-        dev = self.bm25._sync()
+        # host_csr avoids materializing the single-chip device state (the
+        # budgeted impact matrix etc.) that the sharded path never uses.
+        csr = self.bm25.host_csr()
+        n_post = int(csr["indptr"][-1])
+        indptr32 = csr["indptr"].astype(np.int32)
         bm25_sharded = shard_bm25_state(
             {
-                "indptr": dev["indptr"],
-                "post_doc": dev["post_doc"],
-                "post_w": dev["post_w"],
+                "indptr": indptr32,
+                "post_doc": csr["doc"].astype(np.int32),
+                "post_w": csr["w"].astype(np.float32),
                 "docs_per_shard": shard_cap,
             },
             self.mesh,
@@ -111,7 +120,7 @@ class ShardedHybridIndex:
             "cap": cap,
             "shard_cap": shard_cap,
             "bm25": bm25_sharded,
-            "max_df": dev["max_df"],
+            "max_df": csr["max_df"],
         }
         logger.info(
             "Sharded index synced: %d docs over %d shards (cap %d/shard)",
@@ -151,9 +160,16 @@ class ShardedHybridIndex:
         prev_path, prev_auto = self.bm25.persist_path, self.bm25.autosave
         self.bm25.save(str(out / "bm25.json"))
         self.bm25.persist_path, self.bm25.autosave = prev_path, prev_auto
+        import dataclasses
+
         with open(out / "manifest.json", "w") as f:
             json.dump(
-                {"n_docs": len(self), "dim": self.dense_config.embedding_dim}, f
+                {
+                    "n_docs": len(self),
+                    "dim": self.dense_config.embedding_dim,
+                    "bm25_config": dataclasses.asdict(self.bm25.config),
+                },
+                f,
             )
         logger.info("Saved sharded index (%d docs) to %s", len(self), out)
 
@@ -164,7 +180,17 @@ class ShardedHybridIndex:
         out = Path(directory)
         with open(out / "manifest.json") as f:
             manifest = json.load(f)
-        self.bm25 = BM25Index(persist_path=str(out / "bm25.json"))
+        from rag_uq_tpu.core.config import BM25Config as _BM25Config
+
+        cfg = (
+            _BM25Config(**manifest["bm25_config"])
+            if "bm25_config" in manifest
+            else self._bm25_config
+        )
+        self.bm25 = BM25Index(persist_path=str(out / "bm25.json"), config=cfg)
+        # Detach from the checkpoint files: later adds must not silently
+        # rewrite bm25.json while the manifest/embeddings stay stale.
+        self.bm25.persist_path = None
         emb = np.load(out / "embeddings.npy")
         self._host_emb = [emb] if emb.shape[0] else []
         self._synced = None

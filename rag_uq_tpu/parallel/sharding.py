@@ -159,16 +159,25 @@ def make_sharded_bm25_topk(mesh: Mesh, k: int, max_df: int, n_docs_cap: int):
         scores = bm25_ops.score_all(
             indptr_l[0], post_doc_l[0], post_w_l[0], qtids, dps, max_df
         )
-        vals, idx = bm25_ops.topk_from_scores(scores, k)
+        # A shard holds at most dps docs: clamp the local k (exact merge).
+        k_local = min(k, dps)
+        vals, idx = bm25_ops.topk_from_scores(scores, k_local)
         idx = jnp.where(idx >= 0, idx + i * dps, -1)
         all_vals = jax.lax.all_gather(vals, CORPUS_AXIS)
         all_idx = jax.lax.all_gather(idx, CORPUS_AXIS)
         bsz = vals.shape[0]
-        cat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bsz, n_shards * k)
-        cat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bsz, n_shards * k)
-        mv, sel = jax.lax.top_k(cat_v, k)
+        cat_v = jnp.transpose(all_vals, (1, 0, 2)).reshape(bsz, n_shards * k_local)
+        cat_i = jnp.transpose(all_idx, (1, 0, 2)).reshape(bsz, n_shards * k_local)
+        k_out = min(k, n_shards * k_local)
+        mv, sel = jax.lax.top_k(cat_v, k_out)
         mi = jnp.take_along_axis(cat_i, sel, axis=-1)
         dead = mv <= 0.0
-        return jnp.where(dead, 0.0, mv), jnp.where(dead, -1, mi)
+        mv = jnp.where(dead, 0.0, mv)
+        mi = jnp.where(dead, -1, mi)
+        if k_out < k:
+            pad = ((0, 0), (0, k - k_out))
+            mv = jnp.pad(mv, pad)
+            mi = jnp.pad(mi, pad, constant_values=-1)
+        return mv, mi
 
     return sharded_bm25

@@ -110,9 +110,19 @@ def trace(log_dir: Optional[str] = None) -> Iterator[None]:
 
 @contextlib.contextmanager
 def annotate(name: str) -> Iterator[None]:
-    """Named sub-region inside a trace (TraceAnnotation)."""
+    """Named sub-region inside a trace (TraceAnnotation); annotation
+    failures never mask the body's own exceptions."""
+    cm = None
     try:
-        with jax.profiler.TraceAnnotation(name):
-            yield
-    except Exception:  # pragma: no cover
+        cm = jax.profiler.TraceAnnotation(name)
+        cm.__enter__()
+    except Exception:  # pragma: no cover - profiler unavailable
+        cm = None
+    try:
         yield
+    finally:
+        if cm is not None:
+            try:
+                cm.__exit__(None, None, None)
+            except Exception:  # pragma: no cover
+                pass

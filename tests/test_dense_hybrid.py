@@ -141,3 +141,25 @@ class TestHybridRetriever:
             embedder=Sha256Embedder(dim=64), dense_config=SMALL_CFG
         )
         assert r.hybrid_search("anything") == []
+
+
+class TestWithinBatchDedup:
+    def test_duplicate_ids_in_one_batch(self):
+        """First occurrence wins when one batch repeats an id (the
+        documented dedup-by-id contract)."""
+        from rag_uq_tpu.index.sparse import BM25Index
+
+        idx = DenseIndex(embedder=Sha256Embedder(dim=64), config=SMALL_CFG)
+        n = idx.add_documents([Document("a", "first text"),
+                               Document("a", "second text"),
+                               Document("b", "other")])
+        assert n == 2
+        assert len(idx) == 2
+        assert idx.store.get("a").text == "first text"
+
+        bm = BM25Index()
+        n = bm.add_documents([Document("a", "alpha words"),
+                              Document("a", "beta words"),
+                              Document("b", "gamma")])
+        assert n == 2 and len(bm) == 2
+        assert bm.store.get("a").text == "alpha words"

@@ -132,3 +132,39 @@ class TestShardedHybridIndex:
         assert len(idx) == 100
         # Results may change with more docs, but must stay valid positions.
         assert (p2[p2 >= 0] < 100).all()
+
+
+class TestShardedEdges:
+    def test_pool_exceeds_shard_capacity(self, corpus, embedder):
+        idx = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        # shard_cap = 128 for 300 docs over 8 shards; pool 200 > 128.
+        vals, pos = idx.search_batch(QUERIES[:2], top_k=10, pool=200)
+        assert vals.shape == (2, 10)
+        assert (pos[pos >= 0] < len(idx)).all()
+
+    def test_load_detaches_checkpoint_and_keeps_config(self, corpus, embedder,
+                                                       tmp_path):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            bm25_config=BM25Config(dense_tier_threshold=16),
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(50)])
+        idx.save(str(tmp_path / "ck"))
+        restored = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        restored.load(str(tmp_path / "ck"))
+        assert restored.bm25.config.dense_tier_threshold == 16
+        assert restored.bm25.persist_path is None  # detached from checkpoint
+        # Adding after load must not rewrite checkpoint files.
+        before = (tmp_path / "ck/bm25.json").stat().st_mtime_ns
+        restored.add_documents([Document("newdoc", corpus[51])])
+        assert (tmp_path / "ck/bm25.json").stat().st_mtime_ns == before
