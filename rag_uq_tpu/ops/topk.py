@@ -79,13 +79,14 @@ def cosine_topk(
     return vals, idx
 
 
-@partial(jax.jit, static_argnames=("k", "approx"))
+@partial(jax.jit, static_argnames=("k", "approx", "recall_target"))
 def cosine_topk_single(
     emb: jax.Array,
     queries: jax.Array,
     size: jax.Array,
     k: int,
     approx: bool = False,
+    recall_target: float = 0.95,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-shot top-k: one [B, cap] matmul then (approx_)top_k.
 
@@ -101,7 +102,7 @@ def cosine_topk_single(
     )
     scores = jnp.where(col[None, :] < size, scores, -jnp.inf)
     if approx:
-        vals, idx = jax.lax.approx_max_k(scores, k)
+        vals, idx = jax.lax.approx_max_k(scores, k, recall_target=recall_target)
     else:
         vals, idx = jax.lax.top_k(scores, k)
     idx = jnp.where(jnp.isneginf(vals), -1, idx)
