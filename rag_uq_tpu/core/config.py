@@ -52,6 +52,14 @@ class BM25Config:
     # buildable on one chip; sharded deployments split the budget per shard).
     impact_budget_bytes: int = 2 << 30
     impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
+    # Main+delta incremental sync for live ingest: when > 0 and the docs
+    # added since the last full sync stay under this fraction of the base,
+    # only a small delta CSR is (re)built and uploaded — the base device
+    # state (incl. the impact matrix) is reused with its idf/avgdl FROZEN
+    # (bounded staleness; a full sync runs once the fraction is exceeded,
+    # and exact-mode searches always force one). 0 disables (every dirty
+    # search does a full sync).
+    delta_sync_fraction: float = 0.0
 
 
 @dataclass

@@ -87,6 +87,8 @@ class BM25Index:
 
         self._dirty = True
         self._device: Optional[Dict[str, object]] = None
+        self._delta_device: Optional[Dict[str, object]] = None
+        self._base: Optional[Dict[str, object]] = None
 
         if self.persist_path and self.persist_path.exists():
             self._load()
@@ -342,11 +344,119 @@ class BM25Index:
             "n_docs_cap": int(ncap),
         }
         self._dirty = False
+        # Base snapshot for main+delta incremental sync: the frozen global
+        # statistics let later delta postings be scored consistently with
+        # the (unchanged) base impacts.
+        doc_len_all = np.asarray(self.doc_lens, dtype=np.float64)
+        idf_full = np.zeros(vsize, dtype=np.float64)
+        if n_post:
+            active = df > 0
+            idf_full[active] = np.log(n_docs - df[active] + 0.5) - np.log(
+                df[active] + 0.5
+            )
+            avg_idf = idf_full[active].mean() if active.any() else 0.0
+            eps = self.config.idf_epsilon * avg_idf
+            idf_full[active & (idf_full < 0)] = eps
+        self._base = {
+            "docs": n_docs,
+            "postings": n_post,
+            "idf": idf_full,
+            "eps": (self.config.idf_epsilon * idf_full[df > 0].mean())
+            if n_post and (df > 0).any()
+            else 0.0,
+            "avgdl": doc_len_all.mean() if n_docs else 1.0,
+        }
+        self._delta_device = None
         logger.info(
             "Synced BM25 device index: %d docs, %d terms (%d dense-tier), "
             "%d postings", n_docs, vsize, t_dense, n_post,
         )
         return self._device
+
+    # -- main+delta incremental sync ---------------------------------------------
+
+    def _delta_fraction(self) -> float:
+        base = getattr(self, "_base", None)
+        if base is None or base["docs"] == 0:
+            return float("inf")
+        return (len(self.store) - base["docs"]) / base["docs"]
+
+    def _sync_incremental(self):
+        """Return (base_device, delta_device_or_None).
+
+        When delta_sync_fraction allows, keeps the existing base device
+        state and (re)builds only a small CSR over the docs added since the
+        base sync, with impacts computed from the base's FROZEN idf/avgdl
+        (new terms get an idf from the frozen corpus size). Falls back to a
+        full sync otherwise.
+        """
+        frac = self.config.delta_sync_fraction
+        if (
+            not self._dirty
+            or frac <= 0.0
+            or self._device is None
+            or self._delta_fraction() > frac
+        ):
+            if self._dirty or self._device is None:
+                self._sync()
+            return self._device, self._delta_device
+
+        base = self._base
+        lo, hi = base["postings"], self._n_postings
+        tid = self._tid[lo:hi]
+        doc = self._doc[lo:hi]
+        tf = self._tf[lo:hi].astype(np.float64)
+
+        order = np.argsort(tid, kind="stable")
+        tid_s, doc_s, tf_s = tid[order], doc[order], tf[order]
+        vsize = len(self.vocab)
+        df_delta = np.bincount(tid_s, minlength=vsize).astype(np.int64)
+        indptr = np.zeros(vsize + 1, dtype=np.int64)
+        np.cumsum(df_delta, out=indptr[1:])
+
+        # Frozen statistics: known terms reuse the base idf; terms first seen
+        # in the delta get an idf from the frozen corpus size + their delta
+        # df (floored at the frozen epsilon like rank_bm25).
+        idf = np.zeros(vsize, dtype=np.float64)
+        n_known = base["idf"].shape[0]
+        idf[:n_known] = base["idf"]
+        new_terms = np.arange(n_known, vsize)
+        if new_terms.size:
+            dfn = np.maximum(df_delta[new_terms], 1)
+            idf_new = np.log(base["docs"] - dfn + 0.5) - np.log(dfn + 0.5)
+            idf[new_terms] = np.where(idf_new < 0, base["eps"], idf_new)
+
+        dl = np.asarray(self.doc_lens, dtype=np.float64)[doc_s] if doc_s.size else np.zeros(0)
+        denom = tf_s + self.k1 * (1.0 - self.b + self.b * dl / base["avgdl"])
+        w_s = idf[tid_s] * tf_s * (self.k1 + 1.0) / np.maximum(denom, 1e-12)
+
+        n_dp = hi - lo
+        n_delta_docs = len(self.store) - base["docs"]
+        pcap = _next_pow2(max(n_dp, 1), floor=256)
+        vcap = self._device["indptr"].shape[0] - 1
+        indptr_p = np.full(vcap + 1, n_dp, dtype=np.int32)
+        indptr_p[: vsize + 1] = indptr.astype(np.int32)
+        post_doc = np.zeros(pcap, dtype=np.int32)
+        post_doc[:n_dp] = (doc_s - base["docs"]).astype(np.int32)  # delta-local
+        post_w = np.zeros(pcap, dtype=np.float32)
+        post_w[:n_dp] = w_s.astype(np.float32)
+
+        self._delta_device = {
+            "indptr": jnp.asarray(indptr_p),
+            "post_doc": jnp.asarray(post_doc),
+            "post_w": jnp.asarray(post_w),
+            "n_docs_cap": int(_next_pow2(max(n_delta_docs, 1), floor=8)),
+            "max_df": int(
+                _next_pow2(int(df_delta.max()) if df_delta.size else 1, floor=8)
+            ),
+            "base_docs": base["docs"],
+        }
+        self._dirty = False
+        logger.info(
+            "Delta-synced BM25 index: +%d docs (+%d postings) over a %d-doc base",
+            n_delta_docs, n_dp, base["docs"],
+        )
+        return self._device, self._delta_device
 
     # -- queries ---------------------------------------------------------------
 
@@ -373,11 +483,18 @@ class BM25Index:
             out[i, : len(ids)] = ids
         return out
 
+    def _require_full_sync(self) -> Dict[str, object]:
+        """Full device state covering every doc (collapses any live delta)."""
+        if self._delta_device is not None:
+            self._dirty = True
+            self._delta_device = None
+        return self._sync()
+
     def score_all_batch(
         self, queries: Sequence[str], qtids: Optional[np.ndarray] = None
     ) -> np.ndarray:
         """Exhaustive BM25 scores [B, n_docs] (reference get_scores parity)."""
-        dev = self._sync()
+        dev = self._require_full_sync()
         qtids = jnp.asarray(
             self.encode_queries(queries) if qtids is None else qtids
         )
@@ -398,34 +515,53 @@ class BM25Index:
         """Batched top-k: (scores [B, k], doc positions [B, k], -1 = dead).
 
         Both paths are exact BM25; `exact=True` uses the exhaustive
-        scatter-add oracle, `exact=False` the fast two-tier program (same
-        results up to impact-matrix storage-dtype rounding and ties).
+        scatter-add oracle (forcing a full sync), `exact=False` the fast
+        two-tier program (same results up to impact-matrix storage-dtype
+        rounding and ties). With delta_sync_fraction > 0 the fast path may
+        serve from a frozen base plus a small delta (bounded idf staleness;
+        see BM25Config).
         """
-        dev = self._sync()
-        qtids = jnp.asarray(
-            self.encode_queries(queries) if qtids is None else qtids
-        )
+        qtids_np = self.encode_queries(queries) if qtids is None else qtids
         if exact:
+            dev = self._require_full_sync()
             scores = bm25_ops.score_all(
                 dev["indptr"], dev["post_doc"], dev["post_w"],
-                qtids, dev["n_docs_cap"], dev["max_df"],
+                jnp.asarray(qtids_np), dev["n_docs_cap"], dev["max_df"],
             )
             vals, idx = bm25_ops.topk_from_scores(scores, top_k)
-        else:
-            vals, idx = bm25_ops.topk_twotier(
-                dev["low_ranges"], dev["post_packed"],
-                dev["term_row"], dev["impact"],
-                qtids, top_k, beam=dev["beam"], approx=approx,
-                lsel=4096 if approx else 0,
-                impact_scale=dev["impact_scale"],
-                nonneg=dev["nonneg"],
+            return np.asarray(vals), np.asarray(idx)
+
+        dev, delta = self._sync_incremental()
+        # Terms first seen after the base sync don't exist in the base state;
+        # clamp them for the base lookup (padded base slots are empty ranges,
+        # so in-capacity new ids are already safe).
+        base_vcap = dev["indptr"].shape[0] - 1
+        qtids_base = np.where(qtids_np < base_vcap, qtids_np, -1)
+        vals, idx = bm25_ops.topk_twotier(
+            dev["low_ranges"], dev["post_packed"],
+            dev["term_row"], dev["impact"],
+            jnp.asarray(qtids_base), top_k, beam=dev["beam"], approx=approx,
+            lsel=4096 if approx else 0,
+            impact_scale=dev["impact_scale"],
+            nonneg=dev["nonneg"],
+        )
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        if delta is not None:
+            dscores = bm25_ops.score_all(
+                delta["indptr"], delta["post_doc"], delta["post_w"],
+                jnp.asarray(qtids_np), delta["n_docs_cap"], delta["max_df"],
             )
-            dead = np.asarray(vals) <= 0.0
-            return (
-                np.where(dead, 0.0, np.asarray(vals)),
-                np.where(dead, -1, np.asarray(idx)),
-            )
-        return np.asarray(vals), np.asarray(idx)
+            k_delta = min(top_k, delta["n_docs_cap"])
+            dv, di = bm25_ops.topk_from_scores(dscores, k_delta)
+            dv, di = np.asarray(dv), np.asarray(di)
+            di = np.where(di >= 0, di + delta["base_docs"], -1)
+            cat_v = np.concatenate([vals, dv], axis=1)
+            cat_i = np.concatenate([idx, di], axis=1)
+            order = np.argsort(-cat_v, axis=1)[:, :top_k]
+            vals = np.take_along_axis(cat_v, order, axis=1)
+            idx = np.take_along_axis(cat_i, order, axis=1)
+        dead = vals <= 0.0
+        return np.where(dead, 0.0, vals), np.where(dead, -1, idx)
 
     def score_positions_batch(
         self,
@@ -434,7 +570,7 @@ class BM25Index:
         qtids: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Exact BM25 scores for given doc positions [B, P] (-1 padded)."""
-        dev = self._sync()
+        dev = self._require_full_sync()
         qtids = jnp.asarray(
             self.encode_queries(queries) if qtids is None else qtids
         )

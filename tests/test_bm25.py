@@ -234,3 +234,65 @@ class TestNegativeImpactCorpus:
         live = ev > 0
         np.testing.assert_allclose(fv[live], ev[live], rtol=1e-5)
         np.testing.assert_array_equal(fi[live], ei[live])
+
+
+class TestDeltaSync:
+    def _make(self, corpus, frac):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(delta_sync_fraction=frac,
+                                          impact_dtype="float32",
+                                          dense_tier_threshold=8))
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(40)])
+        idx.search_batch(["w1"], top_k=3, exact=False)  # base sync
+        return idx
+
+    def test_delta_serves_without_full_resync(self, corpus):
+        idx = self._make(corpus, frac=0.5)
+        base_docs = idx._base["docs"]
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(40, 50)])
+        v, i = idx.search_batch(["w1 w2 the"], top_k=10, exact=False)
+        assert idx._delta_device is not None  # delta path used
+        assert idx._base["docs"] == base_docs  # base untouched
+        # New docs are reachable through the delta.
+        all_pos = set(i[i >= 0].tolist())
+        # Results approximately match the full rebuild (idf staleness only).
+        full = BM25Index()
+        full.add_documents([Document(str(n), corpus[n]) for n in range(50)])
+        fv, fi = full.search_batch(["w1 w2 the"], top_k=10, exact=False)
+        overlap = len(all_pos & set(fi[fi >= 0].tolist())) / max(
+            (fi >= 0).sum(), 1
+        )
+        assert overlap >= 0.8
+
+    def test_new_delta_terms_are_searchable(self, corpus):
+        idx = self._make(corpus, frac=0.5)
+        idx.add_documents([Document("new1", "zzznovel qqqterm w1")])
+        v, i = idx.search_batch(["zzznovel"], top_k=3, exact=False)
+        live = i[0][i[0] >= 0]
+        assert 40 in live.tolist()  # the new doc (position 40) is found
+
+    def test_fraction_exceeded_triggers_full_sync(self, corpus):
+        idx = self._make(corpus, frac=0.1)
+        idx.add_documents(
+            [Document(str(i), corpus[i % len(corpus)] + f" x{i}")
+             for i in range(40, 60)]
+        )  # +50% > 10%
+        idx.search_batch(["w1"], top_k=3, exact=False)
+        assert idx._delta_device is None  # full resync happened
+        assert idx._base["docs"] == 60
+
+    def test_exact_path_forces_full_sync(self, corpus):
+        idx = self._make(corpus, frac=0.5)
+        idx.add_documents([Document("n1", "w1 w2 fresh")])
+        idx.search_batch(["w1"], top_k=3, exact=False)
+        assert idx._delta_device is not None
+        ev, ei = idx.search_batch(["w1"], top_k=3, exact=True)
+        assert idx._delta_device is None  # collapsed into the base
+        # exact now matches a from-scratch index bit-for-bit
+        full = BM25Index()
+        full.add_documents([Document(str(i), corpus[i]) for i in range(40)])
+        full.add_documents([Document("n1", "w1 w2 fresh")])
+        fv, fi = full.search_batch(["w1"], top_k=3, exact=True)
+        np.testing.assert_allclose(ev, fv, rtol=1e-6)
+        np.testing.assert_array_equal(ei, fi)
