@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from rag_uq_tpu.ops import bm25 as bm25_ops
 from rag_uq_tpu.ops.topk import cosine_topk, cosine_topk_single
@@ -85,12 +86,9 @@ def make_fused_hybrid_query(
     dense_mode: str = "single",  # "single" | "single_approx" | "stream"
     max_df: Optional[int] = None,  # REQUIRED with exact_bm25 (index max df)
     nonneg: bool = True,  # pass the index's dev["nonneg"] flag
+    delta_cap: int = 0,  # live-ingest delta doc capacity (0 = no delta)
+    delta_max_df: int = 0,
 ):
-    if exact_bm25 and max_df is None:
-        raise ValueError(
-            "exact_bm25=True needs max_df=bm25_index._sync()['max_df'] — a "
-            "default cap would silently truncate postings of common terms"
-        )
     """Build the jitted fused query fn.
 
     Returns fn(index_state, q_vecs, qterms, router_vars) ->
@@ -99,6 +97,11 @@ def make_fused_hybrid_query(
     `router_vars` is {"params", "stats"} or None for the reference's
     fixed-weight fusion.
     """
+    if exact_bm25 and max_df is None:
+        raise ValueError(
+            "exact_bm25=True needs max_df=bm25_index._sync()['max_df'] — a "
+            "default cap would silently truncate postings of common terms"
+        )
 
     @partial(jax.jit, static_argnames=())
     def fused(state: Dict[str, Any], q_vecs, qterms, router_vars=None):
@@ -127,11 +130,26 @@ def make_fused_hybrid_query(
             bvals, bidx = bm25_ops.topk_twotier(
                 state["low_ranges"], state["post_packed"],
                 state["term_row"], state["impact"],
-                qterms["qtids"], pool, beam=beam, approx=approx_topk,
+                qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
                 lsel=4096 if approx_topk else 0,
                 impact_scale=state["impact_scale"],
                 nonneg=nonneg,
             )
+            if "delta_indptr" in state:
+                # Live-ingest delta: exhaustively score the recently added
+                # docs (small) and merge into the BM25 pool.
+                dscores = bm25_ops.score_all(
+                    state["delta_indptr"], state["delta_post_doc"],
+                    state["delta_post_w"], qterms["qtids"],
+                    delta_cap, delta_max_df,
+                )
+                k_delta = min(pool, delta_cap)
+                dv, di = bm25_ops.topk_from_scores(dscores, k_delta)
+                di = jnp.where(di >= 0, di + state["delta_base_docs"], -1)
+                cat_v = jnp.concatenate([bvals, dv], axis=-1)
+                cat_i = jnp.concatenate([bidx, di], axis=-1)
+                bvals, sel = jax.lax.top_k(cat_v, pool)
+                bidx = jnp.take_along_axis(cat_i, sel, axis=-1)
             dead = bvals <= 0.0
             bvals = jnp.where(dead, 0.0, bvals)
             bidx = jnp.where(dead, -1, bidx)
@@ -162,16 +180,40 @@ def make_fused_hybrid_query(
 
 
 def encode_for_fused(bm25_index, queries) -> Dict[str, jax.Array]:
-    """Encode a query batch into the fused program's term inputs."""
+    """Encode a query batch into the fused program's term inputs.
+
+    qtids_base clamps term ids beyond the synced base vocabulary capacity
+    (terms first seen after the base sync exist only in the delta).
+    """
     import jax.numpy as jnp
 
-    return {"qtids": jnp.asarray(bm25_index.encode_queries(queries))}
-
-
-def build_index_state(dense_index, bm25_index) -> Dict[str, Any]:
-    """Collect device arrays from the two indices into one state dict."""
-    dev = bm25_index._sync()
+    qtids = bm25_index.encode_queries(queries)
+    base_dev = bm25_index._device
+    if base_dev is not None:
+        base_vcap = base_dev["indptr"].shape[0] - 1
+        qtids_base = np.where(qtids < base_vcap, qtids, -1)
+    else:
+        qtids_base = qtids
     return {
+        "qtids": jnp.asarray(qtids),
+        "qtids_base": jnp.asarray(qtids_base),
+    }
+
+
+def build_index_state(
+    dense_index, bm25_index, allow_delta: bool = False
+) -> Dict[str, Any]:
+    """Collect device arrays from the two indices into one state dict.
+
+    With allow_delta (and bm25.delta_sync_fraction > 0), a live delta is
+    kept/built instead of forcing a full resync; its arrays join the state
+    and make_fused_hybrid_query must receive the matching delta_cap/max_df.
+    """
+    if allow_delta:
+        dev, delta = bm25_index._sync_incremental()
+    else:
+        dev, delta = bm25_index._require_full_sync(), None
+    state = {
         "emb": dense_index._emb,
         "size": jnp.int32(len(dense_index)),
         "indptr": dev["indptr"],
@@ -183,3 +225,11 @@ def build_index_state(dense_index, bm25_index) -> Dict[str, Any]:
         "impact": dev["impact"],
         "impact_scale": dev["impact_scale"],
     }
+    if delta is not None:
+        state.update(
+            delta_indptr=delta["indptr"],
+            delta_post_doc=delta["post_doc"],
+            delta_post_w=delta["post_w"],
+            delta_base_docs=jnp.int32(delta["base_docs"]),
+        )
+    return state

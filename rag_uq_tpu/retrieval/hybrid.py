@@ -129,12 +129,17 @@ class HybridRetriever:
     # -- fused batched hot path ---------------------------------------------------
 
     def _fused_state(self):
-        key = (len(self.dense_index), self.bm25_index._n_postings)
+        key = (
+            len(self.dense_index),
+            self.bm25_index._n_postings,
+            id(self.bm25_index._device),  # device state replaced elsewhere
+        )
         if getattr(self, "_fused_cache_key", None) != key:
             from rag_uq_tpu.retrieval.fused import build_index_state
 
+            allow_delta = self.bm25_index.config.delta_sync_fraction > 0
             self._fused_state_cache = build_index_state(
-                self.dense_index, self.bm25_index
+                self.dense_index, self.bm25_index, allow_delta=allow_delta
             )
             self._fused_cache_key = key
         return self._fused_state_cache
@@ -160,13 +165,17 @@ class HybridRetriever:
         )
 
         state = self._fused_state()
-        dev = self.bm25_index._sync()
+        dev = self.bm25_index._device
         beam, nonneg = dev["beam"], dev["nonneg"]
+        delta = self.bm25_index._delta_device
+        delta_cap = delta["n_docs_cap"] if delta is not None else 0
+        delta_max_df = delta["max_df"] if delta is not None else 0
         pool = min(retrieval_pool_size, max(len(self.documents), 1))
         # Cache the jitted program per static configuration: a fresh closure
         # per call would retrace/recompile every request.
         key = (
             min(top_k, 2 * pool), pool, beam, approx, nonneg,
+            delta_cap, delta_max_df,
             id(router.module) if router is not None else None,
         )
         if not hasattr(self, "_fused_fns"):
@@ -181,6 +190,8 @@ class HybridRetriever:
                 approx_topk=approx,
                 dense_mode="single",
                 nonneg=nonneg,
+                delta_cap=delta_cap,
+                delta_max_df=delta_max_df,
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)

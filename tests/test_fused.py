@@ -117,3 +117,34 @@ class TestStageTimer:
         assert summary["retrieval"]["count"] == 2
         assert summary["generation"]["count"] == 1
         assert len(timer.totals("retrieval")) == 2
+
+
+class TestLiveIngestDelta:
+    def test_serving_sees_new_docs_without_full_resync(self):
+        """hybrid_search_batch serves docs added after the base sync through
+        the fused delta branch, without rebuilding the base device state."""
+        from rag_uq_tpu.core.config import BM25Config
+
+        corpus = make_synthetic_corpus(np.random.default_rng(9), 60)
+        r = HybridRetriever(
+            embedder=NgramHashEmbedder(dim=64, buckets=4096),
+            dense_config=DenseIndexConfig(
+                embedding_dim=64, initial_capacity=128, score_block=128
+            ),
+            bm25_config=BM25Config(delta_sync_fraction=0.5),
+        )
+        r.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        r.hybrid_search_batch(["w1"], top_k=3)  # base sync
+        base_device = r.bm25_index._device
+
+        r.add_documents([Document("fresh1", "zzzfresh unique tokens w1"),
+                         Document("fresh2", "another zzzfresh doc")])
+        vals, pos = r.hybrid_search_batch(["zzzfresh"], top_k=5, approx=False)
+        assert r.bm25_index._delta_device is not None  # delta path active
+        assert r.bm25_index._device is base_device  # base untouched
+        live = pos[0][pos[0] >= 0].tolist()
+        assert 60 in live and 61 in live  # both new docs retrieved
+
+        # Old docs still retrieved through the base.
+        vals, pos = r.hybrid_search_batch(["w1 w2"], top_k=5, approx=False)
+        assert (pos[0][pos[0] >= 0] < 62).all()
