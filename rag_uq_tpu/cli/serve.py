@@ -9,8 +9,10 @@ framework reaches its QPS numbers in production rather than per-query
 dispatch.
 
 Protocols:
-- `serve_http`: stdlib HTTP server, POST /search {"queries": [...], "k": N}
-  and POST /answer {"question": ..., "k": N}; GET /healthz.
+- `serve_http`: stdlib HTTP server, POST /search {"queries": [...], "k": N},
+  POST /answer {"question": ..., "k": N}, POST /ingest {"documents":
+  [{"id", "text", ...}, ...]} (live ingest; pair with
+  bm25.delta_sync_fraction > 0 for delta-sync serving); GET /healthz.
 - `QueryService`: the embeddable micro-batching engine behind it.
 """
 
@@ -70,6 +72,12 @@ class QueryService:
                 break
             req.result = [[] for _ in req.queries]
             req.event.set()
+
+    def ingest(self, documents) -> Dict[str, int]:
+        """Add documents live. The next batch's index-state rebuild happens
+        on the worker thread inside the fused call (delta-synced when
+        bm25.delta_sync_fraction > 0)."""
+        return self.retriever.add_documents(documents)
 
     def search(self, queries: List[str], k: int = 10) -> List[List[Dict[str, Any]]]:
         if self._stop.is_set():
@@ -182,6 +190,17 @@ def serve_http(
                     queries = [queries]
                 k = int(payload.get("k", 10))
                 self._send(200, {"results": service.search(list(queries), k)})
+            elif self.path == "/ingest":
+                from rag_uq_tpu.core.types import Document
+
+                rows = payload.get("documents") or []
+                try:
+                    docs = [Document.from_dict(row) for row in rows]
+                except (KeyError, TypeError):
+                    self._send(400, {"error": "documents need id and text"})
+                    return
+                stats = service.ingest(docs)
+                self._send(200, stats)
             elif self.path == "/answer":
                 question = payload.get("question", "")
                 k = int(payload.get("k", 10))

@@ -3,6 +3,7 @@ evaluate, pipeline, and the serving engine."""
 
 import json
 import threading
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -248,6 +249,57 @@ class TestServeRobustness:
             with urllib.request.urlopen(req) as r:
                 body = json.loads(r.read())
             assert len(body["results"]) == 1  # one query, not 14 characters
+        finally:
+            server.shutdown()
+            service.close()
+
+
+class TestIngestEndpoint:
+    def test_live_ingest_over_http(self, corpus_path, tmp_path):
+        from rag_uq_tpu.core.config import BM25Config, Config
+
+        cfg = Config(
+            dense=SMALL.dense, embedder=SMALL.embedder,
+            bm25=BM25Config(delta_sync_fraction=0.5),
+        )
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=cfg,
+        )
+        service = QueryService(retriever)
+        server = serve_http(service, port=0)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/ingest",
+                data=json.dumps({"documents": [
+                    {"id": "live9", "text": "freshly ingested zzzdoc"},
+                ]}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                stats = json.loads(r.read())
+            assert stats["total_documents"] == 31
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/search",
+                data=json.dumps({"queries": ["zzzdoc freshly"], "k": 2}).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["results"][0][0]["doc_id"] == "live9"
+            # Malformed ingest -> 400
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/ingest",
+                data=json.dumps({"documents": [{"text": "no id"}]}).encode(),
+                method="POST",
+            )
+            try:
+                urllib.request.urlopen(req)
+                assert False, "expected 400"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
         finally:
             server.shutdown()
             service.close()
