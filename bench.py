@@ -134,7 +134,7 @@ def main() -> None:
     router_vars = {"params": router.params, "stats": router.stats}
     fused = make_fused_hybrid_query(
         router_module=router.module, k=K, pool=POOL, block=BLOCK, beam=beam,
-        dense_mode="single_approx",
+        dense_mode="single_approx", sparse_mode="scatter",
     )
 
     # Query batches: dense side = source doc vector + noise; sparse side =
@@ -172,7 +172,7 @@ def main() -> None:
         state["emb"].shape[0], 1 << 17,
     )
     ev, ei = bm25_ops.topk_from_scores(ex_scores, K)
-    fv, fi = bm25_ops.topk_twotier(
+    fv, fi = bm25_ops.topk_lowscatter(
         state["low_ranges"], state["post_packed"],
         state["term_row"], state["impact"],
         sub, K, beam=beam, approx=True,

@@ -88,6 +88,8 @@ def make_fused_hybrid_query(
     nonneg: bool = True,  # pass the index's dev["nonneg"] flag
     delta_cap: int = 0,  # live-ingest delta doc capacity (0 = no delta)
     delta_max_df: int = 0,
+    sparse_mode: str = "twotier",  # "twotier" | "scatter"
+    sparse_recall_target: float = 0.95,  # scatter-mode approx_max_k recall
 ):
     """Build the jitted fused query fn.
 
@@ -96,12 +98,20 @@ def make_fused_hybrid_query(
     `build_index_state`, `qterms` the dict from `encode_for_fused`, and
     `router_vars` is {"params", "stats"} or None for the reference's
     fixed-weight fusion.
+
+    sparse_mode selects the BM25 pool op: "twotier" (containment merge,
+    exact L-candidates even under approx_topk) or "scatter"
+    (`topk_lowscatter`: low-tier postings scatter-added into the high-tier
+    totals — ~25% faster at bench shape, whole-pool approx recall under
+    approx_topk, exact for any impact sign when approx_topk=False).
     """
     if exact_bm25 and max_df is None:
         raise ValueError(
             "exact_bm25=True needs max_df=bm25_index._sync()['max_df'] — a "
             "default cap would silently truncate postings of common terms"
         )
+    if sparse_mode not in ("twotier", "scatter"):
+        raise ValueError(f"unknown sparse_mode {sparse_mode!r}")
 
     @partial(jax.jit, static_argnames=())
     def fused(state: Dict[str, Any], q_vecs, qterms, router_vars=None):
@@ -127,14 +137,23 @@ def make_fused_hybrid_query(
             )
             bvals, bidx = bm25_ops.topk_from_scores(all_scores, pool)
         else:
-            bvals, bidx = bm25_ops.topk_twotier(
-                state["low_ranges"], state["post_packed"],
-                state["term_row"], state["impact"],
-                qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
-                lsel=4096 if approx_topk else 0,
-                impact_scale=state["impact_scale"],
-                nonneg=nonneg,
-            )
+            if sparse_mode == "scatter":
+                bvals, bidx = bm25_ops.topk_lowscatter(
+                    state["low_ranges"], state["post_packed"],
+                    state["term_row"], state["impact"],
+                    qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
+                    impact_scale=state["impact_scale"],
+                    recall_target=sparse_recall_target,
+                )
+            else:
+                bvals, bidx = bm25_ops.topk_twotier(
+                    state["low_ranges"], state["post_packed"],
+                    state["term_row"], state["impact"],
+                    qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
+                    lsel=4096 if approx_topk else 0,
+                    impact_scale=state["impact_scale"],
+                    nonneg=nonneg,
+                )
             if "delta_indptr" in state:
                 # Live-ingest delta: exhaustively score the recently added
                 # docs (small) and merge into the BM25 pool.

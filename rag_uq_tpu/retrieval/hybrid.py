@@ -151,6 +151,7 @@ class HybridRetriever:
         retrieval_pool_size: int = 50,
         router=None,
         approx: bool = True,
+        sparse_mode: str = "twotier",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched hybrid search through the fused one-program device path.
 
@@ -158,6 +159,8 @@ class HybridRetriever:
         `router` is an optional RetrievalRouter whose gate replaces the fixed
         mean-of-max-normalized fusion. `approx=False` uses exact top-k on
         every branch (slower; bit-comparable to `hybrid_search`).
+        `sparse_mode="scatter"` selects the faster scatter-add BM25 pool op
+        (see make_fused_hybrid_query).
         """
         from rag_uq_tpu.retrieval.fused import (
             encode_for_fused,
@@ -175,7 +178,7 @@ class HybridRetriever:
         # per call would retrace/recompile every request.
         key = (
             min(top_k, 2 * pool), pool, beam, approx, nonneg,
-            delta_cap, delta_max_df,
+            delta_cap, delta_max_df, sparse_mode,
             id(router.module) if router is not None else None,
         )
         if not hasattr(self, "_fused_fns"):
@@ -192,6 +195,7 @@ class HybridRetriever:
                 nonneg=nonneg,
                 delta_cap=delta_cap,
                 delta_max_df=delta_max_df,
+                sparse_mode=sparse_mode,
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)

@@ -236,6 +236,91 @@ class TestNegativeImpactCorpus:
         np.testing.assert_array_equal(fi[live], ei[live])
 
 
+class TestLowScatter:
+    """topk_lowscatter: the scatter-add two-tier variant must be exact
+    (approx=False) against the exhaustive oracle for every impact regime."""
+
+    def _check(self, idx, queries, k=5):
+        import jax.numpy as jnp
+
+        from rag_uq_tpu.ops import bm25 as bm25_ops
+
+        dev = idx._sync()
+        qtids = jnp.asarray(idx.encode_queries(queries))
+        ncap = dev["impact"].shape[1]
+        ex = bm25_ops.score_all(
+            dev["indptr"], dev["post_doc"], dev["post_w"], qtids, ncap,
+            dev["max_df"],
+        )
+        ev, ei = bm25_ops.topk_from_scores(ex, k)
+        fv, fi = bm25_ops.topk_lowscatter(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], qtids, k, beam=dev["beam"], approx=False,
+            impact_scale=dev["impact_scale"],
+        )
+        ev, ei = np.asarray(ev), np.asarray(ei)
+        fv, fi = np.asarray(fv), np.asarray(fi)
+        live = ev > 0
+        np.testing.assert_allclose(fv[live], ev[live], rtol=1e-5)
+        np.testing.assert_array_equal(fi[live], ei[live])
+
+    def test_exact_f32(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=8))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        self._check(idx, ["w1 w2 the", "the is a", "w10", "w5 w5 w5",
+                          "unknownterm w3"])
+
+    def test_exact_with_negative_weights(self):
+        """Unlike topk_twotier, no containment argument is needed: the
+        scatter accumulates signed weights directly, so the op is exact for
+        degenerate (negative-impact) corpora without any fallback."""
+        from rag_uq_tpu.core.config import BM25Config
+
+        shared = " ".join(f"c{j}" for j in range(10))
+        docs = [Document(str(i), f"{shared} tag{i % 3}") for i in range(12)]
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=2))
+        idx.add_documents(docs)
+        assert not idx._sync()["nonneg"]
+        self._check(idx, ["c1 c2 tag0", "c3 c4 c5", "tag2 c0"], k=3)
+
+    def test_int8_close_to_exact(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+
+        import jax.numpy as jnp
+
+        from rag_uq_tpu.ops import bm25 as bm25_ops
+
+        idx = BM25Index(config=BM25Config(impact_dtype="int8",
+                                          dense_tier_threshold=8))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        dev = idx._sync()
+        qtids = jnp.asarray(idx.encode_queries(["w1 w2 the", "w10 w3"]))
+        ex = bm25_ops.score_all(dev["indptr"], dev["post_doc"], dev["post_w"],
+                                qtids, dev["impact"].shape[1], dev["max_df"])
+        ev, _ = bm25_ops.topk_from_scores(ex, 5)
+        fv, _ = bm25_ops.topk_lowscatter(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], qtids, 5, beam=dev["beam"], approx=False,
+            impact_scale=dev["impact_scale"],
+        )
+        live = np.asarray(ev) > 0.05
+        np.testing.assert_allclose(np.asarray(fv)[live], np.asarray(ev)[live],
+                                   rtol=3e-2)
+
+    def test_row_cap_wide_beam(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=2,
+                                          max_dense_tier_rows=4))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        self._check(idx, ["w1 w2 the", "the is a"])
+
+
 class TestDeltaSync:
     def _make(self, corpus, frac):
         from rag_uq_tpu.core.config import BM25Config

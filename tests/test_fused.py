@@ -103,6 +103,27 @@ class TestFusedParity:
         live = pos[0][pos[0] >= 0]
         assert len(live) == len(set(live.tolist()))
 
+    def test_scatter_mode_matches_twotier_exact(self, retriever):
+        """sparse_mode='scatter' with exact top-k must reproduce the
+        twotier path bit-for-bit (same totals, same ranking)."""
+        queries = ["w1 w2 the", "w10 w3 is", "w5 w5", "unknownterm"]
+        v_tt, p_tt = retriever.hybrid_search_batch(
+            queries, top_k=5, approx=False, sparse_mode="twotier"
+        )
+        v_sc, p_sc = retriever.hybrid_search_batch(
+            queries, top_k=5, approx=False, sparse_mode="scatter"
+        )
+        np.testing.assert_allclose(v_sc, v_tt, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(p_sc, p_tt)
+
+    def test_scatter_mode_rejects_unknown(self, retriever):
+        import pytest as _pytest
+
+        from rag_uq_tpu.retrieval.fused import make_fused_hybrid_query
+
+        with _pytest.raises(ValueError):
+            make_fused_hybrid_query(sparse_mode="bogus")
+
 
 class TestStageTimer:
     def test_stages_accumulate(self):
