@@ -43,7 +43,13 @@ class _Pending:
 
 
 class QueryService:
-    """Micro-batching search engine: requests aggregate into device batches."""
+    """Micro-batching search engine: requests aggregate into device batches.
+
+    Serving defaults to the throughput-optimal scatter-mode BM25 pool op
+    (sparse_mode="scatter", ~35% faster; see ops/bm25.topk_lowscatter);
+    pass sparse_mode="twotier" for exact low-tier candidates under approx
+    top-k.
+    """
 
     def __init__(
         self,
@@ -51,9 +57,11 @@ class QueryService:
         router: Optional[RetrievalRouter] = None,
         max_batch: int = 256,
         tick_ms: float = 2.0,
+        sparse_mode: str = "scatter",
     ):
         self.retriever = retriever
         self.router = router
+        self.sparse_mode = sparse_mode
         self.max_batch = max_batch
         self.tick_s = tick_ms / 1000.0
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
@@ -121,7 +129,8 @@ class QueryService:
         k = max(req.k for req in batch)
         try:
             vals, pos = self.retriever.hybrid_search_batch(
-                all_queries, top_k=k, router=self.router
+                all_queries, top_k=k, router=self.router,
+                sparse_mode=self.sparse_mode,
             )
             store = self.retriever.documents
             results: List[List[Dict[str, Any]]] = []
@@ -239,6 +248,11 @@ def main(argv=None) -> None:
     parser.add_argument("--router-checkpoint", default=None)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
+    parser.add_argument(
+        "--sparse-mode", default="scatter", choices=["scatter", "twotier"],
+        help="BM25 pool op: 'scatter' (throughput-optimal, default) or "
+        "'twotier' (exact low-tier candidates under approx top-k)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -252,7 +266,8 @@ def main(argv=None) -> None:
 
         router = RetrievalRouter()
         RouterTrainer(router).load_checkpoint(args.router_checkpoint)
-    service = QueryService(retriever, router=router)
+    service = QueryService(retriever, router=router,
+                           sparse_mode=args.sparse_mode)
     serve_http(service, host=args.host, port=args.port).serve_forever()
 
 
