@@ -36,10 +36,14 @@ logger = logging.getLogger(__name__)
 
 @dataclass
 class _Pending:
+    """A queued operation: a search batch, or (documents != None) an ingest."""
+
     queries: List[str]
     k: int
+    documents: Optional[List[Any]] = None
     event: threading.Event = field(default_factory=threading.Event)
-    result: Optional[List[List[Dict[str, Any]]]] = None
+    result: Optional[Any] = None
+    error: Optional[BaseException] = None
 
 
 class QueryService:
@@ -58,12 +62,18 @@ class QueryService:
         max_batch: int = 256,
         tick_ms: float = 2.0,
         sparse_mode: str = "scatter",
+        retrieval_pool_size: int = 50,
     ):
         self.retriever = retriever
         self.router = router
         self.sparse_mode = sparse_mode
         self.max_batch = max_batch
         self.tick_s = tick_ms / 1000.0
+        self.pool_size = retrieval_pool_size
+        # hybrid_search_batch caps k at 2*pool; clamp at the service layer so
+        # oversized/invalid k from a payload can't silently truncate or fail
+        # a whole co-batched program (lax.top_k with k > width errors).
+        self.max_k = 2 * retrieval_pool_size
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -78,19 +88,14 @@ class QueryService:
                 req = self._queue.get_nowait()
             except queue.Empty:
                 break
-            req.result = [[] for _ in req.queries]
+            req.result = {} if req.documents is not None else [
+                [] for _ in req.queries
+            ]
             req.event.set()
 
-    def ingest(self, documents) -> Dict[str, int]:
-        """Add documents live. The next batch's index-state rebuild happens
-        on the worker thread inside the fused call (delta-synced when
-        bm25.delta_sync_fraction > 0)."""
-        return self.retriever.add_documents(documents)
-
-    def search(self, queries: List[str], k: int = 10) -> List[List[Dict[str, Any]]]:
+    def _submit(self, req: _Pending):
         if self._stop.is_set():
             raise RuntimeError("QueryService is closed")
-        req = _Pending(queries=queries, k=k)
         self._queue.put(req)
         # Bounded waits so a dead worker surfaces as an error, not a hang.
         while not req.event.wait(timeout=1.0):
@@ -98,29 +103,67 @@ class QueryService:
                 if req.event.is_set():
                     break
                 raise RuntimeError("QueryService worker stopped")
+        if req.error is not None:
+            raise req.error
         assert req.result is not None
         return req.result
+
+    def ingest(self, documents) -> Dict[str, int]:
+        """Add documents live, serialized onto the worker thread — all index
+        mutation and lazy device-state rebuilds happen on one thread, so
+        concurrent /ingest and /search requests can never tear the host
+        buffers mid-sync. The next batch's state rebuild is delta-synced
+        when bm25.delta_sync_fraction > 0."""
+        return self._submit(_Pending(queries=[], k=0, documents=list(documents)))
+
+    def search(self, queries: List[str], k: int = 10) -> List[List[Dict[str, Any]]]:
+        k = max(1, min(int(k), self.max_k))
+        return self._submit(_Pending(queries=queries, k=k))
 
     # -- batching loop -----------------------------------------------------------
 
     def _loop(self) -> None:
+        carry: Optional[_Pending] = None
         while not self._stop.is_set():
-            try:
-                first = self._queue.get(timeout=self.tick_s)
-            except queue.Empty:
+            if carry is not None:
+                first, carry = carry, None
+            else:
+                try:
+                    first = self._queue.get(timeout=self.tick_s)
+                except queue.Empty:
+                    continue
+            if first.documents is not None:
+                self._run_ingest(first)
                 continue
             batch = [first]
             n = len(first.queries)
-            # Aggregate whatever arrived within the tick window.
+            # Aggregate whatever arrived within the tick window. An ingest
+            # op ends the window (carried to the next iteration) so queue
+            # order — ingest-then-search sees the new docs — is preserved.
             deadline_passed = False
             while n < self.max_batch and not deadline_passed:
                 try:
                     nxt = self._queue.get(timeout=self.tick_s)
+                    if nxt.documents is not None:
+                        carry = nxt
+                        break
                     batch.append(nxt)
                     n += len(nxt.queries)
                 except queue.Empty:
                     deadline_passed = True
             self._run_batch(batch)
+        if carry is not None:
+            carry.result = {}
+            carry.event.set()
+
+    def _run_ingest(self, req: _Pending) -> None:
+        try:
+            req.result = self.retriever.add_documents(req.documents)
+        except Exception as e:  # pragma: no cover - serving resilience
+            logger.exception("ingest failed: %s", e)
+            req.error = e
+            req.result = {}
+        req.event.set()
 
     def _run_batch(self, batch: List[_Pending]) -> None:
         all_queries: List[str] = []

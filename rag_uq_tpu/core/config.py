@@ -52,6 +52,11 @@ class BM25Config:
     # buildable on one chip; sharded deployments split the budget per shard).
     impact_budget_bytes: int = 2 << 30
     impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
+    # Approx-path low-tier candidate-pool truncation (ops/bm25.topk_twotier):
+    # before the dense-tier gather, keep only the `lsel` largest low-tier
+    # segment sums per query. Only applies together with approx top-k (the
+    # exact path ignores it); 0 disables truncation even under approx.
+    lsel: int = 4096
     # Main+delta incremental sync for live ingest: when > 0 and the docs
     # added since the last full sync stay under this fraction of the base,
     # only a small delta CSR is (re)built and uploaded — the base device

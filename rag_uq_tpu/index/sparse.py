@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -89,6 +90,14 @@ class BM25Index:
         self._device: Optional[Dict[str, object]] = None
         self._delta_device: Optional[Dict[str, object]] = None
         self._base: Optional[Dict[str, object]] = None
+        # Monotonic counter bumped whenever device state is (re)built — a
+        # stable cache-key component for downstream fused-state caches
+        # (id(dict) can be reused after GC; this cannot).
+        self.sync_generation = 0
+        # Serializes index mutation against the lazy device-sync paths so
+        # concurrent servers (e.g. cli/serve.py /ingest handler threads vs
+        # the batching worker) can't tear the host buffers mid-sync.
+        self._lock = threading.RLock()
 
         if self.persist_path and self.persist_path.exists():
             self._load()
@@ -111,27 +120,29 @@ class BM25Index:
 
     def add_documents(self, documents: Sequence[Document]) -> int:
         """Add new documents (dedup by id). Returns number added."""
-        # Dedup against the store AND within the batch (first wins).
-        seen = {}
-        for doc in documents:
-            if doc.id not in self.store and doc.id not in seen:
-                seen[doc.id] = doc
-        fresh = list(seen.values())
-        if not fresh:
-            return 0
+        with self._lock:
+            # Dedup against the store AND within the batch (first wins).
+            seen = {}
+            for doc in documents:
+                if doc.id not in self.store and doc.id not in seen:
+                    seen[doc.id] = doc
+            fresh = list(seen.values())
+            if not fresh:
+                return 0
 
-        if self._native is not None:
-            self._add_documents_native(fresh)
-        else:
-            self._add_documents_python(fresh)
+            if self._native is not None:
+                self._add_documents_native(fresh)
+            else:
+                self._add_documents_python(fresh)
 
-        self._dirty = True
-        logger.info(
-            "Added %d documents to BM25 index. Total: %d", len(fresh), len(self)
-        )
-        if self.persist_path and self.autosave:
-            self._save()
-        return len(fresh)
+            self._dirty = True
+            logger.info(
+                "Added %d documents to BM25 index. Total: %d",
+                len(fresh), len(self),
+            )
+            if self.persist_path and self.autosave:
+                self._save()
+            return len(fresh)
 
     def _add_documents_python(self, fresh: Sequence[Document]) -> None:
         new_tids: List[int] = []
@@ -228,6 +239,10 @@ class BM25Index:
 
     def _sync(self) -> Dict[str, object]:
         """(Re)build device CSR arrays from host buffers. Lazy: only if dirty."""
+        with self._lock:
+            return self._sync_locked()
+
+    def _sync_locked(self) -> Dict[str, object]:
         if self._device is not None and not self._dirty:
             return self._device
 
@@ -367,6 +382,7 @@ class BM25Index:
             "avgdl": doc_len_all.mean() if n_docs else 1.0,
         }
         self._delta_device = None
+        self.sync_generation += 1
         logger.info(
             "Synced BM25 device index: %d docs, %d terms (%d dense-tier), "
             "%d postings", n_docs, vsize, t_dense, n_post,
@@ -390,6 +406,10 @@ class BM25Index:
         (new terms get an idf from the frozen corpus size). Falls back to a
         full sync otherwise.
         """
+        with self._lock:
+            return self._sync_incremental_locked()
+
+    def _sync_incremental_locked(self):
         frac = self.config.delta_sync_fraction
         if (
             not self._dirty
@@ -398,7 +418,7 @@ class BM25Index:
             or self._delta_fraction() > frac
         ):
             if self._dirty or self._device is None:
-                self._sync()
+                self._sync_locked()
             return self._device, self._delta_device
 
         base = self._base
@@ -433,7 +453,14 @@ class BM25Index:
         n_dp = hi - lo
         n_delta_docs = len(self.store) - base["docs"]
         pcap = _next_pow2(max(n_dp, 1), floor=256)
-        vcap = self._device["indptr"].shape[0] - 1
+        # The delta CSR's vocab capacity is independent of the base's:
+        # delta-ingested docs can grow the vocabulary past the base pow2
+        # capacity (e.g. base vocab exactly at its capacity), so size by
+        # whichever is larger — base capacity keeps the shape stable across
+        # small deltas, _next_pow2(vsize) guarantees indptr always fits.
+        vcap = max(
+            self._device["indptr"].shape[0] - 1, _next_pow2(vsize, floor=1024)
+        )
         indptr_p = np.full(vcap + 1, n_dp, dtype=np.int32)
         indptr_p[: vsize + 1] = indptr.astype(np.int32)
         post_doc = np.zeros(pcap, dtype=np.int32)
@@ -452,6 +479,7 @@ class BM25Index:
             "base_docs": base["docs"],
         }
         self._dirty = False
+        self.sync_generation += 1
         logger.info(
             "Delta-synced BM25 index: +%d docs (+%d postings) over a %d-doc base",
             n_delta_docs, n_dp, base["docs"],
@@ -485,10 +513,11 @@ class BM25Index:
 
     def _require_full_sync(self) -> Dict[str, object]:
         """Full device state covering every doc (collapses any live delta)."""
-        if self._delta_device is not None:
-            self._dirty = True
-            self._delta_device = None
-        return self._sync()
+        with self._lock:
+            if self._delta_device is not None:
+                self._dirty = True
+                self._delta_device = None
+            return self._sync_locked()
 
     def score_all_batch(
         self, queries: Sequence[str], qtids: Optional[np.ndarray] = None
@@ -541,7 +570,7 @@ class BM25Index:
             dev["low_ranges"], dev["post_packed"],
             dev["term_row"], dev["impact"],
             jnp.asarray(qtids_base), top_k, beam=dev["beam"], approx=approx,
-            lsel=4096 if approx else 0,
+            lsel=self.config.lsel if approx else 0,
             impact_scale=dev["impact_scale"],
             nonneg=dev["nonneg"],
         )

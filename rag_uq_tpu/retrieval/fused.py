@@ -90,6 +90,7 @@ def make_fused_hybrid_query(
     delta_max_df: int = 0,
     sparse_mode: str = "twotier",  # "twotier" | "scatter"
     sparse_recall_target: float = 0.95,  # scatter-mode approx_max_k recall
+    lsel: int = 4096,  # twotier approx low-tier candidate truncation (0 = off)
 ):
     """Build the jitted fused query fn.
 
@@ -150,7 +151,7 @@ def make_fused_hybrid_query(
                     state["low_ranges"], state["post_packed"],
                     state["term_row"], state["impact"],
                     qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
-                    lsel=4096 if approx_topk else 0,
+                    lsel=lsel if approx_topk else 0,
                     impact_scale=state["impact_scale"],
                     nonneg=nonneg,
                 )

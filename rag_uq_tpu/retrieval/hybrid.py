@@ -14,6 +14,7 @@ from __future__ import annotations
 import logging
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax.numpy as jnp
 import numpy as np
 
 from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig, EmbedderConfig
@@ -101,19 +102,15 @@ class HybridRetriever:
             queries, top_k=pool, q_vecs=q_vecs
         )
 
-        # Union with dedup: prefer the first occurrence (bm25 block first).
+        # Union with on-device dedup (sort-based; duplicates and dead slots
+        # become -1). The reference unions per-row Python sets
+        # (streaming_index.py:489-499) — O(B*pool) host loops on a 1-core
+        # host; here one small device sort covers the whole batch. Score
+        # alignment is by doc position, so slot order within a row is free.
+        from rag_uq_tpu.retrieval.fused import union_dedup
+
         cat = np.concatenate([b_pos, d_pos], axis=1)  # [B, 2*pool]
-        bsz, width = cat.shape
-        positions = np.full((bsz, width), -1, dtype=np.int32)
-        for i in range(bsz):
-            seen = set()
-            j = 0
-            for p in cat[i]:
-                p = int(p)
-                if p >= 0 and p not in seen:
-                    seen.add(p)
-                    positions[i, j] = p
-                    j += 1
+        positions = np.asarray(union_dedup(jnp.asarray(cat, dtype=jnp.int32)))
 
         bm25 = np.array(
             self.bm25_index.score_positions_batch(queries, positions, qtids=qtids)
@@ -129,19 +126,27 @@ class HybridRetriever:
     # -- fused batched hot path ---------------------------------------------------
 
     def _fused_state(self):
-        key = (
-            len(self.dense_index),
-            self.bm25_index._n_postings,
-            id(self.bm25_index._device),  # device state replaced elsewhere
-        )
-        if getattr(self, "_fused_cache_key", None) != key:
+        def cache_key(bm25):
+            # The monotonic sync generation (not id(dict), which can be
+            # reused after GC) detects device-state replacement; _dirty and
+            # the sizes detect pending mutations not yet synced.
+            return (
+                len(self.dense_index),
+                bm25._n_postings,
+                bm25.sync_generation,
+                bm25._dirty,
+            )
+
+        if getattr(self, "_fused_cache_key", None) != cache_key(self.bm25_index):
             from rag_uq_tpu.retrieval.fused import build_index_state
 
             allow_delta = self.bm25_index.config.delta_sync_fraction > 0
             self._fused_state_cache = build_index_state(
                 self.dense_index, self.bm25_index, allow_delta=allow_delta
             )
-            self._fused_cache_key = key
+            # Key recomputed AFTER the build: build_index_state syncs the
+            # index, bumping the generation it should be cached under.
+            self._fused_cache_key = cache_key(self.bm25_index)
         return self._fused_state_cache
 
     def hybrid_search_batch(
@@ -176,9 +181,10 @@ class HybridRetriever:
         pool = min(retrieval_pool_size, max(len(self.documents), 1))
         # Cache the jitted program per static configuration: a fresh closure
         # per call would retrace/recompile every request.
+        lsel = self.bm25_index.config.lsel
         key = (
             min(top_k, 2 * pool), pool, beam, approx, nonneg,
-            delta_cap, delta_max_df, sparse_mode,
+            delta_cap, delta_max_df, sparse_mode, lsel,
             id(router.module) if router is not None else None,
         )
         if not hasattr(self, "_fused_fns"):
@@ -196,6 +202,7 @@ class HybridRetriever:
                 delta_cap=delta_cap,
                 delta_max_df=delta_max_df,
                 sparse_mode=sparse_mode,
+                lsel=lsel,
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)

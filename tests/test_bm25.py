@@ -367,6 +367,28 @@ class TestDeltaSync:
         assert idx._delta_device is None  # full resync happened
         assert idx._base["docs"] == 60
 
+    def test_delta_vocab_grows_past_base_capacity(self):
+        # Regression (ADVICE r1): the delta indptr was sized by the BASE
+        # vocab pow2 capacity; delta docs adding terms past that boundary
+        # raised a broadcast ValueError inside _sync_incremental. Build a
+        # base whose vocab exactly fills its 1024-slot capacity, then push
+        # past it via delta ingest.
+        from rag_uq_tpu.core.config import BM25Config
+
+        idx = BM25Index(config=BM25Config(delta_sync_fraction=0.5,
+                                          impact_dtype="float32",
+                                          dense_tier_threshold=8))
+        idx.add_documents([
+            Document(str(i), " ".join(f"t{i}x{j}" for j in range(32)))
+            for i in range(32)
+        ])
+        idx.search_batch(["t0x0"], top_k=3, exact=False)  # base sync
+        assert len(idx.vocab) == 1024  # vocab exactly at the pow2 capacity
+        idx.add_documents([Document("new", "zzzfresh t0x0")])
+        v, i = idx.search_batch(["zzzfresh"], top_k=3, exact=False)
+        assert idx._delta_device is not None  # served via the delta path
+        assert 32 in i[0][i[0] >= 0].tolist()  # the new doc is found
+
     def test_exact_path_forces_full_sync(self, corpus):
         idx = self._make(corpus, frac=0.5)
         idx.add_documents([Document("n1", "w1 w2 fresh")])

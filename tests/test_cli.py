@@ -254,6 +254,72 @@ class TestServeRobustness:
             service.close()
 
 
+class TestServeConcurrency:
+    def test_k_is_clamped(self, corpus_path, tmp_path):
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+        try:
+            # Oversized / invalid k must not fail the batch (ADVICE r1:
+            # unvalidated k reached lax.top_k and errored every co-batched
+            # request); it is clamped to [1, 2*pool].
+            big = service.search(["topic3 number 8"], k=5000)
+            assert 0 < len(big[0]) <= service.max_k
+            neg = service.search(["topic3 number 8"], k=-7)
+            assert len(neg[0]) == 1
+        finally:
+            service.close()
+
+    def test_concurrent_ingest_and_search(self, corpus_path, tmp_path):
+        # Regression (ADVICE r1): /ingest ran on HTTP handler threads
+        # concurrently with the worker's lazy device sync, tearing host
+        # buffers. Ingest is now serialized onto the worker thread; hammer
+        # both paths from many threads and verify nothing crashes and all
+        # ingested docs land.
+        from rag_uq_tpu.core.config import BM25Config, Config
+        from rag_uq_tpu.core.types import Document
+
+        cfg = Config(
+            dense=SMALL.dense, embedder=SMALL.embedder,
+            bm25=BM25Config(delta_sync_fraction=1.0),
+        )
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=cfg,
+        )
+        service = QueryService(retriever, tick_ms=0.5)
+        errors = []
+
+        def do_ingest(i):
+            try:
+                service.ingest([Document(f"live{i}", f"fresh zdoc{i} topic")])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        def do_search(i):
+            try:
+                service.search([f"topic{i % 5} number {i}"], k=2)
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        try:
+            threads = []
+            for i in range(8):
+                threads.append(threading.Thread(target=do_ingest, args=(i,)))
+                threads.append(threading.Thread(target=do_search, args=(i,)))
+            [t.start() for t in threads]
+            [t.join(timeout=60) for t in threads]
+            assert not errors
+            assert len(retriever) == 30 + 8
+            # Post-storm search sees every ingested doc.
+            hits = service.search(["zdoc3 fresh"], k=3)[0]
+            assert hits and hits[0]["doc_id"] == "live3"
+        finally:
+            service.close()
+
+
 class TestIngestEndpoint:
     def test_live_ingest_over_http(self, corpus_path, tmp_path):
         from rag_uq_tpu.core.config import BM25Config, Config
