@@ -367,6 +367,71 @@ class TestDeltaSync:
         assert idx._delta_device is None  # full resync happened
         assert idx._base["docs"] == 60
 
+    def test_delta_staleness_is_frozen_stats_exactly(self, corpus):
+        # Property (VERDICT r1 #8): the delta path's ONLY approximation is
+        # frozen statistics. Delta-doc scores must bit-match a numpy oracle
+        # that scores the delta docs with the BASE corpus's idf/avgdl, and
+        # base-doc scores must be untouched by the delta ingest.
+        idx = self._make(corpus, frac=0.5)
+        base_v, base_i = idx.search_batch(["w1 w2 the"], top_k=40, exact=False)
+        delta_texts = ["w1 w2 zznew", "the w3 w3 w3", "w2 w2 of is"]
+        idx.add_documents(
+            [Document(f"d{i}", t) for i, t in enumerate(delta_texts)]
+        )
+        v, i = idx.search_batch(["w1 w2 the"], top_k=43, exact=False)
+        assert idx._delta_device is not None
+        scores = {int(p): float(s) for s, p in zip(v[0], i[0]) if p >= 0}
+        # Base docs: identical scores to the pre-delta search.
+        base_scores = {
+            int(p): float(s) for s, p in zip(base_v[0], base_i[0]) if p >= 0
+        }
+        for p, s in base_scores.items():
+            assert abs(scores.get(p, 0.0) - s) < 1e-5, (p, s, scores.get(p))
+        # Delta docs: frozen-stats oracle (base corpus tokens define
+        # idf/avgdl; delta docs only contribute tf/dl terms).
+        base_tokens = [corpus[i].split() for i in range(40)]
+        doc_len = np.array([len(t) for t in base_tokens], dtype=np.float64)
+        avgdl = doc_len.mean()
+        n = len(base_tokens)
+        import collections
+
+        df = collections.Counter()
+        for t in base_tokens:
+            for w in set(t):
+                df[w] += 1
+        idf = {}
+        neg = []
+        for w, d in df.items():
+            idf[w] = np.log(n - d + 0.5) - np.log(d + 0.5)
+            if idf[w] < 0:
+                neg.append(w)
+        avg_idf = sum(idf.values()) / len(idf)
+        for w in neg:
+            idf[w] = 0.25 * avg_idf
+        for j, text in enumerate(delta_texts):
+            toks = text.split()
+            tf = collections.Counter(toks)
+            dl = len(toks)
+            expect = 0.0
+            for q in "w1 w2 the".split():
+                f = tf.get(q, 0)
+                expect += idf.get(q, 0.0) * f * 2.5 / (
+                    f + 1.5 * (1 - 0.75 + 0.75 * dl / avgdl)
+                )
+            got = scores.get(40 + j, 0.0)
+            assert abs(got - expect) < 1e-4, (j, got, expect)
+        # And the drift vs a full resync is small at this delta fraction:
+        # ranking overlap of top-10 >= 0.8 (idf staleness only).
+        full = BM25Index()
+        full.add_documents([Document(str(i), corpus[i]) for i in range(40)])
+        full.add_documents(
+            [Document(f"d{i}", t) for i, t in enumerate(delta_texts)]
+        )
+        fv, fi = full.search_batch(["w1 w2 the"], top_k=10, exact=True)
+        dv, di = v[0][:10], i[0][:10]
+        overlap = len(set(di[di >= 0].tolist()) & set(fi[fi >= 0].tolist()))
+        assert overlap >= 8
+
     def test_delta_vocab_grows_past_base_capacity(self):
         # Regression (ADVICE r1): the delta indptr was sized by the BASE
         # vocab pow2 capacity; delta docs adding terms past that boundary
