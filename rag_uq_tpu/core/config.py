@@ -91,6 +91,10 @@ class EmbedderConfig:
     encoder_heads: int = 12
     encoder_mlp_dim: int = 1536
     max_seq_len: int = 128
+    # Path to a trained encoder checkpoint (cli/train_encoder.py output);
+    # when set with kind == "encoder", the checkpoint's own architecture
+    # config wins over the fields above.
+    checkpoint_path: Optional[str] = None
 
 
 @dataclass

@@ -1,0 +1,453 @@
+"""Deterministic synthetic-wikipedia world: entities, articles, QA pairs.
+
+The reference's experiments run on Wikipedia articles + Natural Questions
+fetched over the network (reference: data/preprocessing/prepare_corpus.py:81-236,
+:296-421). This environment has no egress, and the reference's offline
+fallback is 8 template contexts — far too small to train or evaluate
+anything semantic. This module generates an arbitrarily large, seeded,
+wikipedia-*shaped* world instead:
+
+- **Entities** with typed attributes (people, cities, elements, books,
+  events, animals) whose names come from a syllable generator, so worlds of
+  tens of thousands of entities have distinct, pronounceable surface forms.
+- **Articles**: multi-sentence paragraphs over an entity's attributes,
+  with the sentence templates *and* content-word synonyms sampled per
+  article — so stating the same fact takes many surface forms.
+- **QA pairs** whose question templates are phrased *differently* from any
+  article template (and use different synonyms). Answers are attribute
+  values; gold ids point at the passage(s) actually containing the answer.
+
+The question/passage wording gap is what makes the dataset a real test of
+semantic retrieval: a purely lexical embedder only matches on entity names,
+while a trained encoder can also learn the question-template -> fact-template
+correspondences (e.g. "penned" -> "author") and which tokens are
+discriminative. Used by the encoder contrastive trainer (embed/train.py),
+TinyLM fine-tuning, the experiment pipeline, and the parity harness.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+# -- name generation --------------------------------------------------------------
+
+_ONSETS = ["b", "br", "c", "ch", "d", "dr", "f", "g", "gr", "h", "j", "k",
+           "kl", "l", "m", "n", "p", "pr", "r", "s", "sh", "st", "t", "th",
+           "tr", "v", "w", "z"]
+_VOWELS = ["a", "e", "i", "o", "u", "ae", "ia", "ei", "ou"]
+_CODAS = ["", "l", "n", "r", "s", "th", "m", "nd", "rk", "sh", "x"]
+
+
+def _syllable(rng: np.random.Generator) -> str:
+    return (
+        _ONSETS[rng.integers(len(_ONSETS))]
+        + _VOWELS[rng.integers(len(_VOWELS))]
+        + _CODAS[rng.integers(len(_CODAS))]
+    )
+
+
+def _name(rng: np.random.Generator, syllables: int) -> str:
+    return "".join(_syllable(rng) for _ in range(syllables)).capitalize()
+
+
+def _unique_name(rng: np.random.Generator, taken: set, syllables: int) -> str:
+    for _ in range(64):
+        cand = _name(rng, syllables)
+        if cand not in taken:
+            taken.add(cand)
+            return cand
+    # Extremely unlikely; extend with a numeral-free suffix syllable.
+    while True:
+        cand = _name(rng, syllables) + _syllable(rng)
+        if cand not in taken:
+            taken.add(cand)
+            return cand
+
+
+# -- entity world -----------------------------------------------------------------
+
+_OCCUPATIONS = ["composer", "painter", "astronomer", "botanist", "architect",
+                "poet", "chemist", "cartographer", "sculptor", "physician",
+                "philosopher", "engineer", "historian", "naturalist"]
+_GENRES = ["poetry", "satire", "tragedy", "natural history", "philosophy",
+           "travel writing", "epic verse", "political theory"]
+_HABITATS = ["wetlands", "alpine meadows", "coastal cliffs", "rainforest canopy",
+             "arid steppe", "river deltas", "temperate woodland", "tidal flats"]
+_DIETS = ["insects and larvae", "aquatic plants", "small rodents", "nectar",
+          "carrion", "fish and crustaceans", "seeds and berries", "grasses"]
+_LANDMARK_KINDS = ["cathedral", "observatory", "bridge", "citadel", "library",
+                   "botanical garden", "amphitheatre", "clock tower"]
+_EVENT_KINDS = ["treaty", "council", "uprising", "expedition", "synod",
+                "exposition", "siege", "congress"]
+
+
+@dataclass
+class Entity:
+    kind: str  # person | city | element | book | event | animal
+    name: str
+    attrs: Dict[str, str]
+
+
+@dataclass
+class QA:
+    id: str
+    question: str
+    answers: List[str]
+    entity: str
+    attribute: str
+    gold_doc_ids: List[str] = field(default_factory=list)
+    context: str = ""
+
+
+@dataclass
+class World:
+    """A generated world: entities, one article per entity, QA pairs."""
+
+    entities: List[Entity]
+    articles: List[Dict]  # {"id", "title", "text"}
+    qas: List[QA]
+
+    def corpus_rows(self) -> List[Dict]:
+        return [dict(a) for a in self.articles]
+
+    def qa_rows(self) -> List[Dict]:
+        return [
+            {
+                "id": q.id,
+                "question": q.question,
+                "answers": q.answers,
+                "context": q.context,
+                "gold_doc_ids": q.gold_doc_ids,
+                "metadata": {"entity": q.entity, "attribute": q.attribute},
+            }
+            for q in self.qas
+        ]
+
+
+def _make_entities(rng: np.random.Generator, n: int) -> List[Entity]:
+    taken: set = set()
+    # A small shared geography every world draws from, so cross-entity
+    # references (birthplaces, locations) repeat like real-world city names.
+    n_cities = max(6, n // 8)
+    n_countries = max(3, n_cities // 5)
+    countries = [_unique_name(rng, taken, 3) for _ in range(n_countries)]
+    cities: List[Entity] = []
+    for _ in range(n_cities):
+        name = _unique_name(rng, taken, 2)
+        cities.append(Entity("city", name, {
+            "country": countries[rng.integers(n_countries)],
+            "population": str(int(rng.integers(40, 4000)) * 1000),
+            "river": _unique_name(rng, taken, 2),
+            "landmark_kind": _LANDMARK_KINDS[rng.integers(len(_LANDMARK_KINDS))],
+            "landmark": _unique_name(rng, taken, 2),
+            "founded": str(int(rng.integers(800, 1700))),
+        }))
+
+    entities: List[Entity] = list(cities)
+    kinds = ["person", "element", "book", "event", "animal"]
+    while len(entities) < n:
+        kind = kinds[rng.integers(len(kinds))]
+        city = cities[rng.integers(len(cities))]
+        if kind == "person":
+            first, last = _unique_name(rng, taken, 2), _unique_name(rng, taken, 2)
+            birth = int(rng.integers(1500, 1950))
+            entities.append(Entity("person", f"{first} {last}", {
+                "birth_year": str(birth),
+                "death_year": str(birth + int(rng.integers(35, 90))),
+                "birth_city": city.name,
+                "occupation": _OCCUPATIONS[rng.integers(len(_OCCUPATIONS))],
+                "work": _unique_name(rng, taken, 3),
+            }))
+        elif kind == "element":
+            name = _unique_name(rng, taken, 3)
+            entities.append(Entity("element", name, {
+                "symbol": (name[:2]).capitalize(),
+                "atomic_number": str(int(rng.integers(1, 200))),
+                "discovered": str(int(rng.integers(1650, 1990))),
+                "color": ["silvery", "pale yellow", "bluish", "dark grey",
+                          "reddish"][rng.integers(5)],
+            }))
+        elif kind == "book":
+            title = f"The {_unique_name(rng, taken, 2)} of {_unique_name(rng, taken, 2)}"
+            entities.append(Entity("book", title, {
+                "author": f"{_unique_name(rng, taken, 2)} {_unique_name(rng, taken, 2)}",
+                "year": str(int(rng.integers(1500, 2000))),
+                "genre": _GENRES[rng.integers(len(_GENRES))],
+                "city": city.name,
+            }))
+        elif kind == "event":
+            name = (f"the {_EVENT_KINDS[rng.integers(len(_EVENT_KINDS))].capitalize()} "
+                    f"of {_unique_name(rng, taken, 2)}")
+            start = int(rng.integers(900, 1950))
+            entities.append(Entity("event", name, {
+                "start_year": str(start),
+                "duration_years": str(int(rng.integers(1, 12))),
+                "city": city.name,
+            }))
+        else:  # animal
+            species = f"{_unique_name(rng, taken, 2)} {_unique_name(rng, taken, 2).lower()}"
+            entities.append(Entity("animal", species, {
+                "habitat": _HABITATS[rng.integers(len(_HABITATS))],
+                "diet": _DIETS[rng.integers(len(_DIETS))],
+                "lifespan": str(int(rng.integers(2, 60))),
+            }))
+    return entities
+
+
+# -- article templates --------------------------------------------------------------
+# Several surface forms per (kind, attribute) fact; one is sampled per article.
+
+_FACT_TEMPLATES: Dict[Tuple[str, str], List[str]] = {
+    ("person", "birth"): [
+        "{name} was born in {birth_city} in {birth_year}.",
+        "Born in {birth_city} in {birth_year}, {name} showed early promise.",
+        "{name} came into the world at {birth_city} in the year {birth_year}.",
+    ],
+    ("person", "occupation"): [
+        "{name} was a celebrated {occupation}.",
+        "{name} worked for decades as a {occupation}.",
+        "By profession, {name} was a {occupation}.",
+    ],
+    ("person", "work"): [
+        "{name} is best known for {work}.",
+        "The most famous creation of {name} remains {work}.",
+        "{name} achieved lasting renown with {work}.",
+    ],
+    ("person", "death"): [
+        "{name} died in {death_year}.",
+        "{name} passed away in {death_year}.",
+    ],
+    ("city", "country"): [
+        "{name} is a city in {country}.",
+        "{name} lies in the heart of {country}.",
+        "The city of {name} belongs to {country}.",
+    ],
+    ("city", "population"): [
+        "{name} has a population of about {population} inhabitants.",
+        "Roughly {population} people live in {name}.",
+    ],
+    ("city", "river"): [
+        "{name} stands on the banks of the river {river}.",
+        "The river {river} flows through {name}.",
+    ],
+    ("city", "landmark"): [
+        "Its best-known landmark is the {landmark} {landmark_kind}.",
+        "Visitors come to {name} for the {landmark} {landmark_kind}.",
+    ],
+    ("city", "founded"): [
+        "{name} was founded around {founded}.",
+        "The settlement of {name} dates back to {founded}.",
+    ],
+    ("element", "symbol"): [
+        "{name} is a chemical element with symbol {symbol}.",
+        "The element {name} carries the symbol {symbol}.",
+    ],
+    ("element", "atomic_number"): [
+        "{name} has atomic number {atomic_number}.",
+        "With atomic number {atomic_number}, {name} sits in the periodic table.",
+    ],
+    ("element", "discovered"): [
+        "{name} was discovered in {discovered}.",
+        "Chemists first isolated {name} in {discovered}.",
+    ],
+    ("element", "color"): [
+        "In pure form {name} appears {color}.",
+        "{name} is a {color} substance at room temperature.",
+    ],
+    ("book", "author"): [
+        "{name} was written by {author}.",
+        "{author} is the author of {name}.",
+        "{name} is a work by {author}.",
+    ],
+    ("book", "year"): [
+        "{name} was published in {year}.",
+        "{name} first appeared in print in {year}.",
+    ],
+    ("book", "genre"): [
+        "{name} is regarded as a classic of {genre}.",
+        "The book is an influential example of {genre}.",
+    ],
+    ("event", "start"): [
+        "{name} began in {start_year}.",
+        "{name} started in the year {start_year}.",
+    ],
+    ("event", "city"): [
+        "{name} took place in {city}.",
+        "{name} unfolded in the city of {city}.",
+    ],
+    ("animal", "habitat"): [
+        "The {name} inhabits {habitat}.",
+        "The {name} is native to {habitat}.",
+        "Populations of the {name} are found across {habitat}.",
+    ],
+    ("animal", "diet"): [
+        "The {name} feeds mainly on {diet}.",
+        "Its diet consists largely of {diet}.",
+    ],
+    ("animal", "lifespan"): [
+        "The {name} lives for about {lifespan} years.",
+        "A typical {name} reaches an age of {lifespan} years.",
+    ],
+}
+
+_FACT_ORDER: Dict[str, List[str]] = {
+    "person": ["birth", "occupation", "work", "death"],
+    "city": ["country", "population", "river", "landmark", "founded"],
+    "element": ["symbol", "atomic_number", "discovered", "color"],
+    "book": ["author", "year", "genre"],
+    "event": ["start", "city"],
+    "animal": ["habitat", "diet", "lifespan"],
+}
+
+# -- question templates --------------------------------------------------------------
+# Deliberately phrased differently from every article template: shared
+# content words are mostly the entity name + attribute value; the rest of
+# the wording must be bridged semantically.
+
+_QUESTION_TEMPLATES: Dict[Tuple[str, str], Tuple[List[str], str]] = {
+    ("person", "birth_year"): (
+        ["In which year was {name} born?",
+         "What year saw the birth of {name}?"], "birth_year"),
+    ("person", "birth_city"): (
+        ["Where was {name} born?",
+         "Which city is the birthplace of {name}?"], "birth_city"),
+    ("person", "occupation"): (
+        ["What did {name} do for a living?",
+         "What was the profession of {name}?"], "occupation"),
+    ("person", "work"): (
+        ["Which creation made {name} famous?",
+         "What is {name} chiefly remembered for?"], "work"),
+    ("city", "country"): (
+        ["In what country is {name} located?",
+         "Which nation does {name} belong to?"], "country"),
+    ("city", "river"): (
+        ["On which river does {name} stand?",
+         "What waterway runs through {name}?"], "river"),
+    ("city", "population"): (
+        ["How many people live in {name}?",
+         "What is the population of {name}?"], "population"),
+    ("city", "founded"): (
+        ["When was {name} established?",
+         "Around what year did {name} come into existence?"], "founded"),
+    ("element", "symbol"): (
+        ["What symbol denotes the element {name}?",
+         "Which abbreviation stands for {name}?"], "symbol"),
+    ("element", "atomic_number"): (
+        ["What is the atomic number of {name}?",
+         "Which number does {name} hold in the periodic table?"],
+        "atomic_number"),
+    ("element", "discovered"): (
+        ["When was {name} first identified?",
+         "In what year did scientists find {name}?"], "discovered"),
+    ("book", "author"): (
+        ["Who penned {name}?",
+         "Which writer produced {name}?"], "author"),
+    ("book", "year"): (
+        ["When did {name} come out?",
+         "In what year was {name} released?"], "year"),
+    ("event", "start_year"): (
+        ["When did {name} get under way?",
+         "In which year did {name} commence?"], "start_year"),
+    ("event", "city"): (
+        ["Where did {name} happen?",
+         "Which city hosted {name}?"], "city"),
+    ("animal", "habitat"): (
+        ["Where does the {name} live?",
+         "In what environment is the {name} found?"], "habitat"),
+    ("animal", "diet"): (
+        ["What does the {name} eat?",
+         "What food sustains the {name}?"], "diet"),
+    ("animal", "lifespan"): (
+        ["How long does a {name} live?",
+         "What age can the {name} reach?"], "lifespan"),
+}
+
+
+def _article_text(rng: np.random.Generator, ent: Entity) -> str:
+    fields = {"name": ent.name, **ent.attrs}
+    sentences = []
+    for fact in _FACT_ORDER[ent.kind]:
+        options = _FACT_TEMPLATES[(ent.kind, fact)]
+        sentences.append(options[rng.integers(len(options))].format(**fields))
+    # Light shuffle of the middle sentences: surface order varies, the lead
+    # sentence (the most identifying) stays first like real encyclopedias.
+    if len(sentences) > 2:
+        mid = sentences[1:]
+        rng.shuffle(mid)
+        sentences = sentences[:1] + mid
+    return " ".join(sentences)
+
+
+def generate_world(
+    n_articles: int = 1000,
+    questions_per_entity: int = 2,
+    seed: int = 0,
+) -> World:
+    """Generate a deterministic world of `n_articles` single-entity articles.
+
+    Gold ids are verified: every QA's answer string appears in its gold
+    article text (questions whose attribute phrasing can't guarantee that
+    are dropped, so the returned QAs are always gold-consistent).
+    """
+    rng = np.random.default_rng(seed)
+    entities = _make_entities(rng, n_articles)
+    articles = []
+    for i, ent in enumerate(entities):
+        articles.append({
+            "id": f"art_{i}",
+            "title": ent.name,
+            "text": _article_text(rng, ent),
+            "metadata": {"kind": ent.kind, "entity": ent.name},
+        })
+
+    q_keys_by_kind: Dict[str, List[Tuple[str, str]]] = {}
+    for (kind, attr) in _QUESTION_TEMPLATES:
+        q_keys_by_kind.setdefault(kind, []).append((kind, attr))
+
+    qas: List[QA] = []
+    for i, ent in enumerate(entities):
+        keys = q_keys_by_kind[ent.kind]
+        order = rng.permutation(len(keys))
+        made = 0
+        for j in order:
+            if made >= questions_per_entity:
+                break
+            kind, attr = keys[int(j)]
+            templates, attr_key = _QUESTION_TEMPLATES[(kind, attr)]
+            answer = ent.attrs.get(attr_key)
+            if not answer or answer not in articles[i]["text"]:
+                continue
+            q = templates[rng.integers(len(templates))].format(name=ent.name)
+            qas.append(QA(
+                id=f"qa_{len(qas)}",
+                question=q,
+                answers=[answer],
+                entity=ent.name,
+                attribute=attr_key,
+                gold_doc_ids=[articles[i]["id"]],
+                context=articles[i]["text"],
+            ))
+            made += 1
+    logger.info(
+        "Generated world: %d articles, %d QA pairs (seed %d)",
+        len(articles), len(qas), seed,
+    )
+    return World(entities=entities, articles=articles, qas=qas)
+
+
+def write_world(
+    world: World, corpus_path: str, qa_path: Optional[str] = None
+) -> Tuple[int, int]:
+    """Write the world as corpus + QA JSONL files (loaders.py schemas)."""
+    from rag_uq_tpu.data.loaders import write_jsonl
+
+    write_jsonl(corpus_path, world.corpus_rows())
+    if qa_path:
+        write_jsonl(qa_path, world.qa_rows())
+    return len(world.articles), len(world.qas)

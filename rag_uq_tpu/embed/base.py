@@ -34,6 +34,10 @@ def get_embedder(config: EmbedderConfig) -> Embedder:
             max_len=config.max_seq_len,
         )
     if config.kind == "encoder":
+        if config.checkpoint_path:
+            from rag_uq_tpu.embed.train import load_encoder_checkpoint
+
+            return load_encoder_checkpoint(config.checkpoint_path)
         return TransformerEmbedder(
             EncoderConfig(
                 dim=config.dim,

@@ -59,6 +59,88 @@ class _TrainableDecoder(nn.Module):
         return nn.Dense(VOCAB, dtype=jnp.float32)(x)  # [B, L, VOCAB]
 
 
+# Instruction headers matching the three production prompt templates the
+# sampler will see, so QA fine-tuning covers all of them:
+# cli/evaluate.py::generate_answer (reference run_evaluation.py:67-92),
+# uq/conformal.py::_build_prompt (reference confidence.py:378-403), and
+# uq/mc.py::build_prompt (reference confidence.py:141-147).
+QA_HEADERS = (
+    "Answer the question based on the context. Be concise.\n\n",
+    "Answer the following question based on the provided context.\n"
+    "Be concise and precise.\n\n",
+    "Answer the question.\n\n",
+)
+
+
+def build_qa_prompt(question: str, context: str, header: str) -> str:
+    return f"{header}Context: {context}\n\nQuestion: {question}\n\nAnswer:"
+
+
+def encode_qa_examples(
+    samples: Sequence[Dict],
+    seq_len: int,
+    seed: int = 0,
+    distractor_texts: Optional[Sequence[str]] = None,
+    max_distractors: int = 2,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """QA fine-tuning rows: [n, seq_len+1] byte ids + [n, seq_len] loss mask.
+
+    Each row is BOS + prompt + " answer" + EOS (0-padded); the mask covers
+    only the answer+EOS target positions, so the loss teaches answering,
+    not context modeling. With `distractor_texts`, 0..max_distractors random
+    passages are shuffled into the context around the gold one — matching
+    the evaluation-time top-3-passage context distribution so the model
+    learns to SELECT the relevant fact, not just copy the only passage.
+    """
+    rng = np.random.default_rng(seed)
+    rows: List[np.ndarray] = []
+    masks: List[np.ndarray] = []
+    for s in samples:
+        question = s["question"]
+        answers = s.get("answers") or [s.get("answer", "")]
+        answer = answers[0] if answers else ""
+        gold_ctx = s.get("context", "") or ""
+        if not question or not answer:
+            continue
+        parts = [gold_ctx]
+        if distractor_texts:
+            for _ in range(int(rng.integers(0, max_distractors + 1))):
+                parts.append(
+                    distractor_texts[int(rng.integers(len(distractor_texts)))]
+                )
+            rng.shuffle(parts)
+        header = QA_HEADERS[int(rng.integers(len(QA_HEADERS)))]
+        target = (" " + answer).encode("utf-8")
+        prompt = build_qa_prompt(question, " ".join(parts), header)
+        p_bytes = list(prompt.encode("utf-8"))
+        # Budget: BOS + prompt + target + EOS must fit in seq_len + 1.
+        room = seq_len - len(target) - 1
+        if room <= 0:
+            continue
+        if len(p_bytes) > room:
+            # Trim context bytes from the middle-left: keep the header's
+            # start and the "...Question: ... Answer:" tail intact.
+            keep_tail = min(len(p_bytes), room * 3 // 4)
+            keep_head = room - keep_tail
+            p_bytes = p_bytes[:keep_head] + p_bytes[-keep_tail:]
+        row = np.zeros(seq_len + 1, dtype=np.int32)
+        row[0] = BOS
+        row[1 : 1 + len(p_bytes)] = p_bytes
+        a_start = 1 + len(p_bytes)
+        row[a_start : a_start + len(target)] = list(target)
+        row[a_start + len(target)] = EOS
+        mask = np.zeros(seq_len, dtype=np.float32)
+        # Targets are row[1:]; answer bytes + EOS sit at target positions
+        # [a_start - 1, a_start - 1 + len(target)].
+        mask[a_start - 1 : a_start + len(target)] = 1.0
+        rows.append(row)
+        masks.append(mask)
+    if not rows:
+        return (np.zeros((0, seq_len + 1), np.int32),
+                np.zeros((0, seq_len), np.float32))
+    return np.stack(rows), np.stack(masks)
+
+
 def encode_corpus(texts: Sequence[str], seq_len: int) -> np.ndarray:
     """Pack texts into [n, seq_len+1] BOS-prefixed byte windows (0-padded)."""
     rows: List[np.ndarray] = []
@@ -118,24 +200,25 @@ class TinyLMTrainer:
     def make_train_step(self):
         module, optimizer = self.module, self.optimizer
 
-        def loss_fn(params, batch):  # batch [B, L+1]
+        def loss_fn(params, batch, mask):  # batch [B, L+1], mask [B, L]
             inputs, targets = batch[:, :-1], batch[:, 1:]
             logits = module.apply({"params": params}, inputs)
-            mask = (targets != 0).astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
             return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
         @jax.jit
-        def step(params, opt_state, batch):
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        def step(params, opt_state, batch, mask):
+            loss, grads = jax.value_and_grad(loss_fn)(params, batch, mask)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         return step
 
-    def train_step(self, batch: np.ndarray) -> float:
+    def train_step(self, batch: np.ndarray, mask: Optional[np.ndarray] = None) -> float:
+        if mask is None:
+            mask = (batch[:, 1:] != 0).astype(np.float32)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, jnp.asarray(batch)
+            self.params, self.opt_state, jnp.asarray(batch), jnp.asarray(mask)
         )
         loss = float(loss)
         self.losses.append(loss)
@@ -148,6 +231,34 @@ class TinyLMTrainer:
         for _ in range(steps):
             idx = rng.integers(0, data.shape[0], size=self.config.batch_size)
             self.train_step(data[idx])
+        return self.losses
+
+    def fit_qa(
+        self,
+        samples: Sequence[Dict],
+        steps: Optional[int] = None,
+        seq_len: Optional[int] = None,
+        distractor_texts: Optional[Sequence[str]] = None,
+    ) -> List[float]:
+        """Fine-tune on QA samples ({question, answers, context}) with the
+        loss masked to the answer span (see encode_qa_examples)."""
+        seq_len = seq_len or self.config.seq_len
+        if seq_len > self.model_config.max_total_len:
+            raise ValueError(
+                f"seq_len {seq_len} exceeds position table "
+                f"max_total_len {self.model_config.max_total_len}"
+            )
+        data, masks = encode_qa_examples(
+            samples, seq_len, seed=self.config.seed,
+            distractor_texts=distractor_texts,
+        )
+        if data.shape[0] == 0:
+            raise ValueError("no usable QA samples (need question+answer)")
+        rng = np.random.default_rng(self.config.seed)
+        steps = steps or self.config.total_steps
+        for _ in range(steps):
+            idx = rng.integers(0, data.shape[0], size=self.config.batch_size)
+            self.train_step(data[idx], masks[idx])
         return self.losses
 
     def export_sampler(self, seed: int = 0) -> TinyLM:

@@ -4,7 +4,14 @@ import numpy as np
 import pytest
 
 from rag_uq_tpu.llm.tiny_lm import BOS, EOS, TinyLMConfig
-from rag_uq_tpu.llm.train import LMTrainConfig, TinyLMTrainer, encode_corpus
+from rag_uq_tpu.llm.train import (
+    QA_HEADERS,
+    LMTrainConfig,
+    TinyLMTrainer,
+    build_qa_prompt,
+    encode_corpus,
+    encode_qa_examples,
+)
 
 SMALL_MODEL = TinyLMConfig(dim=64, num_layers=2, num_heads=4, mlp_dim=128,
                            max_prompt_len=32, max_total_len=64)
@@ -23,6 +30,52 @@ class TestEncodeCorpus:
         assert data.shape[0] == 3  # ceil(20/8)
 
 
+class TestEncodeQA:
+    def test_rows_and_mask(self):
+        samples = [{"question": "Who is X?", "answers": ["Ygg"],
+                    "context": "X is Ygg."}]
+        rows, masks = encode_qa_examples(samples, seq_len=96, seed=0)
+        assert rows.shape == (1, 97) and masks.shape == (1, 96)
+        row, mask = rows[0], masks[0]
+        assert row[0] == BOS
+        # Reconstruct the prompt and check the masked targets equal
+        # " Ygg" + EOS exactly.
+        tgt_pos = np.nonzero(mask)[0]
+        targets = row[1:][tgt_pos]
+        assert targets[-1] == EOS
+        assert bytes(targets[:-1].tolist()).decode() == " Ygg"
+        # Everything before the mask is the prompt (header varies by seed).
+        prompt = bytes(row[1 : 1 + tgt_pos[0]].tolist()).decode()
+        assert prompt.endswith("Context: X is Ygg.\n\nQuestion: Who is X?\n\nAnswer:")
+        assert any(prompt.startswith(h) for h in QA_HEADERS)
+
+    def test_distractors_keep_gold(self):
+        samples = [{"question": "Who is X?", "answers": ["Ygg"],
+                    "context": "X is Ygg."}]
+        rows, _ = encode_qa_examples(
+            samples, seq_len=160, seed=0,
+            distractor_texts=["Z is unrelated.", "W lives far away."],
+        )
+        text = bytes(t for t in rows[0].tolist() if 0 < t < 256).decode()
+        assert "X is Ygg." in text  # gold context always present
+
+    def test_long_context_trimming_keeps_tail(self):
+        samples = [{"question": "Who is X?", "answers": ["Ygg"],
+                    "context": "pad " * 200 + "X is Ygg."}]
+        rows, masks = encode_qa_examples(samples, seq_len=128, seed=0)
+        assert rows.shape[0] == 1
+        text = bytes(t for t in rows[0].tolist() if 0 < t < 256).decode()
+        assert "Answer:" in text  # the prompt tail survived trimming
+
+    def test_skips_unusable(self):
+        rows, _ = encode_qa_examples(
+            [{"question": "", "answers": ["a"], "context": "c"},
+             {"question": "q", "answers": [""], "context": "c"}],
+            seq_len=64,
+        )
+        assert rows.shape[0] == 0
+
+
 class TestTinyLMTrainer:
     def test_loss_decreases_on_repetitive_text(self):
         trainer = TinyLMTrainer(
@@ -33,6 +86,22 @@ class TestTinyLMTrainer:
         texts = ["the cat sat on the mat. " * 4] * 8
         losses = trainer.fit(texts, steps=60)
         assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8
+
+    def test_qa_finetune_loss_decreases(self):
+        cfg = TinyLMConfig(dim=64, num_layers=2, num_heads=4, mlp_dim=128,
+                           max_prompt_len=128, max_total_len=192)
+        trainer = TinyLMTrainer(
+            cfg,
+            LMTrainConfig(seq_len=160, batch_size=8, total_steps=80,
+                          warmup_steps=5, learning_rate=2e-3),
+        )
+        samples = [
+            {"question": f"What is item {i}?", "answers": [f"value{i % 4}"],
+             "context": f"Item {i} is value{i % 4}. It is well documented."}
+            for i in range(16)
+        ]
+        losses = trainer.fit_qa(samples, steps=80)
+        assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.5
 
     def test_trained_params_load_into_sampler(self):
         trainer = TinyLMTrainer(

@@ -1,0 +1,61 @@
+"""Synthetic-wikipedia world generator tests (data/synth_wiki.py)."""
+
+import numpy as np
+
+from rag_uq_tpu.data.synth_wiki import generate_world, write_world
+
+
+class TestWorld:
+    def test_deterministic(self):
+        w1 = generate_world(60, seed=7)
+        w2 = generate_world(60, seed=7)
+        assert [a["text"] for a in w1.articles] == [a["text"] for a in w2.articles]
+        assert [q.question for q in w1.qas] == [q.question for q in w2.qas]
+        w3 = generate_world(60, seed=8)
+        assert [a["text"] for a in w3.articles] != [a["text"] for a in w1.articles]
+
+    def test_gold_consistency(self):
+        # Every QA's answer appears verbatim in its gold article text, and
+        # the gold id exists in the corpus.
+        w = generate_world(80, seed=0)
+        by_id = {a["id"]: a for a in w.articles}
+        assert len(w.qas) >= 80  # ~2 per entity
+        for q in w.qas:
+            assert q.gold_doc_ids and q.gold_doc_ids[0] in by_id
+            assert q.answers[0] in by_id[q.gold_doc_ids[0]]["text"]
+            assert q.context == by_id[q.gold_doc_ids[0]]["text"]
+
+    def test_question_wording_differs_from_article(self):
+        # The semantic gap: beyond the entity name and answer tokens, the
+        # question shares few content words with its gold passage.
+        w = generate_world(80, seed=0)
+        gaps = []
+        by_id = {a["id"]: a for a in w.articles}
+        stop = {"the", "a", "of", "in", "is", "was", "to", "for", "what",
+                "which", "who", "when", "where", "how", "does", "did", "do"}
+        for q in w.qas[:100]:
+            art = by_id[q.gold_doc_ids[0]]
+            name_toks = {t.lower().strip("?.,") for t in art["title"].split()}
+            q_toks = {t.lower().strip("?.,") for t in q.question.split()} - stop - name_toks
+            a_toks = {t.lower().strip("?.,") for t in art["text"].split()} - stop - name_toks
+            overlap = len(q_toks & a_toks) / max(len(q_toks), 1)
+            gaps.append(overlap)
+        assert np.mean(gaps) < 0.5  # questions are not passage substrings
+
+    def test_entity_kind_coverage(self):
+        w = generate_world(120, seed=1)
+        kinds = {e.kind for e in w.entities}
+        assert kinds == {"person", "city", "element", "book", "event", "animal"}
+
+    def test_write_world(self, tmp_path):
+        from rag_uq_tpu.data.loaders import load_qa_jsonl, read_jsonl
+
+        w = generate_world(30, seed=0)
+        n_arts, n_qas = write_world(
+            w, str(tmp_path / "c.jsonl"), str(tmp_path / "qa.jsonl")
+        )
+        assert n_arts == 30
+        rows = list(read_jsonl(str(tmp_path / "c.jsonl")))
+        assert len(rows) == 30 and all("text" in r for r in rows)
+        qa = load_qa_jsonl(str(tmp_path / "qa.jsonl"))
+        assert len(qa) == n_qas and all(q["gold_doc_ids"] for q in qa)
