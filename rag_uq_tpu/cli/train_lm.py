@@ -1,0 +1,162 @@
+"""TinyLM extractor pretraining: make the in-framework generator answer.
+
+The reference's generation quality comes from a frozen external 3B model
+(llama3.2 over Ollama, confidence.py:150-158). This framework owns a small
+byte-level decoder instead, so it must TRAIN it. A single pipeline's QA set
+is small enough to memorize (observed: train loss ~1e-3 with zero held-out
+EM), so this experiment pretrains the *extraction skill* on a large
+multi-world QA stream — thousands of synthetic-wikipedia worlds' questions
+whose answers are always spans of the given context, with distractor
+passages mixed in — where memorization is impossible and copy-from-context
+must emerge. Evaluation is exact-match on a world the model never saw.
+
+The saved checkpoint is the pipeline's default generator
+(cli/run_pipeline.py loads it and optionally fine-tunes on its own corpus).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
+from rag_uq_tpu.llm.train import (
+    QA_HEADERS,
+    LMTrainConfig,
+    TinyLMTrainer,
+    build_qa_prompt,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def multi_world_qa(
+    n_worlds: int, articles_per_world: int, seed0: int = 1
+) -> tuple:
+    """QA samples + distractor texts pooled from several generated worlds."""
+    from rag_uq_tpu.data.synth_wiki import generate_world
+
+    samples, distractors = [], []
+    for seed in range(seed0, seed0 + n_worlds):
+        w = generate_world(articles_per_world, seed=seed)
+        samples += w.qa_rows()
+        distractors += [a["text"] for a in w.articles[:500]]
+    return samples, distractors
+
+
+def eval_extraction(
+    lm, test_samples: Sequence[Dict], max_tokens: int = 40, batch: int = 25
+) -> Dict[str, float]:
+    """EM + answer-substring rate with gold-only contexts on unseen data."""
+    prompts = [
+        build_qa_prompt(s["question"], s["context"], QA_HEADERS[0])
+        for s in test_samples
+    ]
+    outs = []
+    for i in range(0, len(prompts), batch):
+        chunk = prompts[i : i + batch]
+        outs += lm.generate_batch(
+            chunk, [0.1] * len(chunk), [0.9] * len(chunk),
+            max_tokens=max_tokens, seed=3,
+        )
+    em = float(np.mean([
+        o.strip().lower() == s["answers"][0].strip().lower()
+        for o, s in zip(outs, test_samples)
+    ]))
+    contains = float(np.mean([
+        s["answers"][0].lower() in o.lower() for o, s in zip(outs, test_samples)
+    ]))
+    return {"exact_match": em, "answer_substring_rate": contains,
+            "n_test": len(test_samples)}
+
+
+def train_extractor(
+    output_dir: str = "models/tiny_lm",
+    n_worlds: int = 15,
+    articles_per_world: int = 2000,
+    steps: int = 12000,
+    batch_size: int = 64,
+    seq_len: int = 512,
+    dim: int = 384,
+    num_layers: int = 6,
+    learning_rate: float = 5e-4,
+    seed: int = 0,
+    eval_n: int = 200,
+) -> Dict:
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.time()
+    samples, distractors = multi_world_qa(n_worlds, articles_per_world)
+    logger.info("%d training QAs from %d worlds in %.0fs",
+                len(samples), n_worlds, time.time() - t0)
+
+    model_cfg = TinyLMConfig(
+        dim=dim, num_layers=num_layers, num_heads=max(dim // 64, 1),
+        mlp_dim=4 * dim, max_prompt_len=1024, max_total_len=1280,
+    )
+    trainer = TinyLMTrainer(
+        model_cfg,
+        LMTrainConfig(
+            seq_len=seq_len, batch_size=batch_size, total_steps=steps,
+            warmup_steps=max(steps // 50, 10), learning_rate=learning_rate,
+            seed=seed,
+        ),
+    )
+    t0 = time.time()
+    losses = trainer.fit_qa(samples, distractor_texts=distractors)
+    train_secs = time.time() - t0
+
+    # Held-out world: seed 0 is never in the training stream (seed0=1).
+    from rag_uq_tpu.data.synth_wiki import generate_world
+
+    test_world = generate_world(max(eval_n, 100), seed=0)
+    lm = trainer.export_sampler()
+    metrics = eval_extraction(lm, test_world.qa_rows()[:eval_n])
+
+    ckpt = str(out / "tiny_lm.msgpack")
+    trainer.save_checkpoint(ckpt)
+    results = {
+        "n_train_qas": len(samples),
+        "steps": len(losses),
+        "first_loss": losses[0],
+        "final_loss": float(np.mean(losses[-50:])),
+        "train_seconds": round(train_secs, 1),
+        "unseen_world_eval": metrics,
+        "checkpoint": ckpt,
+        "model_config": vars(model_cfg),
+    }
+    with open(out / "lm_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info("Extractor results: %s", json.dumps(results, indent=2))
+    return results
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(description="Pretrain the TinyLM extractor")
+    parser.add_argument("--output-dir", default="models/tiny_lm")
+    parser.add_argument("--worlds", type=int, default=15)
+    parser.add_argument("--articles-per-world", type=int, default=2000)
+    parser.add_argument("--steps", type=int, default=12000)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--dim", type=int, default=384)
+    parser.add_argument("--layers", type=int, default=6)
+    parser.add_argument("--lr", type=float, default=5e-4)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    print(json.dumps(train_extractor(
+        output_dir=args.output_dir, n_worlds=args.worlds,
+        articles_per_world=args.articles_per_world, steps=args.steps,
+        batch_size=args.batch_size, dim=args.dim, num_layers=args.layers,
+        learning_rate=args.lr,
+    ), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,24 +38,30 @@ def prepare_training_data(
     retriever: HybridRetriever,
     samples: Sequence[dict],
     num_passages: int = 20,
+    batch_size: int = 512,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Per-question retrieval scores + pseudo-labels (parity :57-118)."""
+    """Retrieval scores + pseudo-labels (parity :57-118), prepared in
+    batched device passes instead of the reference's per-question loop (the
+    dominant wall-clock of its "~2 hours" training, SURVEY.md §3.3)."""
+    samples = list(samples)
     bm25_all, dense_all, rel_all = [], [], []
-    for sample in samples:
-        question = sample["question"]
-        answers = sample.get("answers") or [sample.get("answer", "")]
-        bm25, dense, _ids, texts = retriever.get_scores_for_router(
-            question, num_passages=num_passages
+    for s in range(0, len(samples), batch_size):
+        chunk = samples[s : s + batch_size]
+        bm25, dense, _ids, texts = retriever.get_scores_for_router_batch(
+            [c["question"] for c in chunk], num_passages=num_passages
         )
-        # Max pseudo-label over the sample's answers, aligned POSITIONALLY
-        # with the score arrays (create_pseudo_labels dedups passages, which
-        # would misalign labels when retrieved texts repeat).
-        labels = np.zeros(num_passages, dtype=np.float32)
-        for ans in answers:
-            labels = np.maximum(labels, aligned_pseudo_labels(texts, ans))
-        bm25_all.append(bm25)
-        dense_all.append(dense)
-        rel_all.append(labels)
+        for i, sample in enumerate(chunk):
+            answers = sample.get("answers") or [sample.get("answer", "")]
+            # Max pseudo-label over the sample's answers, aligned
+            # POSITIONALLY with the score arrays (create_pseudo_labels
+            # dedups passages, which would misalign labels when retrieved
+            # texts repeat).
+            labels = np.zeros(num_passages, dtype=np.float32)
+            for ans in answers:
+                labels = np.maximum(labels, aligned_pseudo_labels(texts[i], ans))
+            bm25_all.append(np.asarray(bm25[i], dtype=np.float32))
+            dense_all.append(np.asarray(dense[i], dtype=np.float32))
+            rel_all.append(labels)
     return (
         np.asarray(bm25_all, dtype=np.float32),
         np.asarray(dense_all, dtype=np.float32),

@@ -48,11 +48,34 @@ class StreamingIndex:
         with open(self.checkpoint_path, "w") as f:
             json.dump(self.progress, f)
 
+    @staticmethod
+    def _file_sig(path: Path) -> str:
+        stat = path.stat()
+        return f"{stat.st_size}:{int(stat.st_mtime)}"
+
     def stream_from_jsonl(self, jsonl_path: str, resume: bool = True) -> Iterator[int]:
         """Index documents from JSONL, yielding per-batch counts."""
         path = Path(jsonl_path)
         if not path.exists():
             raise FileNotFoundError(f"Corpus file not found: {jsonl_path}")
+
+        # Resume only applies to the SAME file contents: the reference's
+        # bare line-offset checkpoint silently skips the head of a corpus
+        # that was regenerated under the same path (observed: a stale
+        # checkpoint dropped the first articles of a fresh corpus). A size+
+        # mtime signature invalidates the offset when the file changed.
+        sig = self._file_sig(path)
+        if self.progress.get("file_sig") not in (None, sig):
+            logger.info(
+                "Corpus file changed since checkpoint (sig %s -> %s); "
+                "restarting from offset 0",
+                self.progress.get("file_sig"), sig,
+            )
+            self.progress["last_offset"] = 0
+            self.progress["files_completed"] = [
+                f for f in self.progress["files_completed"] if f != jsonl_path
+            ]
+        self.progress["file_sig"] = sig
 
         start_offset = self.progress["last_offset"] if resume else 0
         with open(path) as f:

@@ -266,3 +266,41 @@ class TinyLMTrainer:
         lm = TinyLM(self.model_config, seed=seed)
         lm.load_params(self.params)
         return lm
+
+    # -- checkpointing ---------------------------------------------------------------
+
+    def save_checkpoint(self, path: str) -> None:
+        """Trained params + model/train config (msgpack + json sidecar)."""
+        import json
+        from pathlib import Path
+
+        from flax import serialization
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.to_bytes(self.params))
+        meta = {
+            "model_config": vars(self.model_config),
+            "train_config": vars(self.config),
+            "losses": self.losses[-20:],
+            "n_steps": len(self.losses),
+        }
+        with open(str(path) + ".json", "w") as f:
+            json.dump(meta, f, indent=2)
+        logger.info("Saved TinyLM checkpoint to %s", path)
+
+
+def load_lm_checkpoint(path: str, seed: int = 0) -> TinyLM:
+    """Rebuild a sampling TinyLM from a saved trainer checkpoint."""
+    import json
+
+    from flax import serialization
+
+    with open(str(path) + ".json") as f:
+        meta = json.load(f)
+    model_config = TinyLMConfig(**meta["model_config"])
+    lm = TinyLM(model_config, seed=seed)
+    with open(path, "rb") as f:
+        lm.load_params(serialization.from_bytes(lm.params, f.read()))
+    logger.info("Loaded TinyLM checkpoint from %s", path)
+    return lm

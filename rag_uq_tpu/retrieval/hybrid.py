@@ -271,3 +271,55 @@ class HybridRetriever:
             doc_ids.append("")
             texts.append("")
         return bm25_scores, dense_scores, doc_ids, texts
+
+    def get_scores_for_router_batch(
+        self,
+        queries: Sequence[str],
+        num_passages: int = 20,
+        retrieval_pool_size: int = 50,
+    ) -> Tuple[np.ndarray, np.ndarray, List[List[str]], List[List[str]]]:
+        """Batched get_scores_for_router: one device program batch for the
+        whole query list instead of a Python loop of single-query searches
+        (the reference's per-query protocol, streaming_index.py:525-557,
+        kept semantically: per-query union pool, fixed fusion ranking, the
+        top `num_passages` rows returned with raw scores, zero-padded).
+
+        Returns (bm25 [B, P], dense [B, P], doc_ids [B][P], texts [B][P]).
+        """
+        if len(self.documents) == 0 or not queries:
+            bsz = len(queries)
+            empty = np.zeros((bsz, num_passages), dtype=np.float64)
+            pads = [[""] * num_passages for _ in range(bsz)]
+            return empty, empty.copy(), pads, [r[:] for r in pads]
+        positions, bm25, dense = self.pooled_scores_batch(
+            list(queries), pool_size=retrieval_pool_size
+        )
+        live = positions >= 0
+        # Reference fixed fusion over the union pool (hybrid_search :510-521)
+        # with the same non-positive-max guard as hybrid_search above.
+        max_b = np.maximum(np.where(live, bm25, -np.inf).max(axis=1), 1e-12)
+        max_d = np.maximum(np.where(live, dense, -np.inf).max(axis=1), 1e-12)
+        fused = (bm25 / max_b[:, None] + dense / max_d[:, None]) / 2.0
+        fused = np.where(live, fused, -np.inf)
+        order = np.argsort(-fused, axis=1)[:, :num_passages]
+
+        sel_pos = np.take_along_axis(positions, order, axis=1)
+        sel_b = np.take_along_axis(bm25, order, axis=1)
+        sel_d = np.take_along_axis(dense, order, axis=1)
+        dead = sel_pos < 0
+        sel_b = np.where(dead, 0.0, sel_b)
+        sel_d = np.where(dead, 0.0, sel_d)
+        pad = num_passages - sel_pos.shape[1]
+        if pad > 0:
+            sel_pos = np.pad(sel_pos, ((0, 0), (0, pad)), constant_values=-1)
+            sel_b = np.pad(sel_b, ((0, 0), (0, pad)))
+            sel_d = np.pad(sel_d, ((0, 0), (0, pad)))
+        store = self.documents
+        doc_ids = [
+            [store.ids[int(p)] if p >= 0 else "" for p in row] for row in sel_pos
+        ]
+        texts = [
+            [store.texts[int(p)] if p >= 0 else "" for p in row]
+            for row in sel_pos
+        ]
+        return sel_b, sel_d, doc_ids, texts

@@ -68,6 +68,25 @@ class TestBuildIndex:
         retriever2 = build_index_from_jsonl(corpus_path, **kwargs)
         assert len(retriever2) == 0  # resumed past the whole file
 
+    def test_checkpoint_invalidated_when_file_changes(self, corpus_path, tmp_path):
+        # Regression: a stale checkpoint against a REGENERATED corpus at the
+        # same path used to silently skip the file head (observed in the
+        # demo pipeline). A size+mtime signature must reset the offset.
+        kwargs = dict(
+            checkpoint_path=str(tmp_path / "ckpt.json"),
+            bm25_persist_path=None,
+            dense_persist_directory=None,
+            config=SMALL,
+        )
+        build_index_from_jsonl(corpus_path, **kwargs)
+        rows = [
+            {"id": f"new{i}", "text": f"regenerated corpus row number {i}"}
+            for i in range(12)
+        ]
+        write_jsonl(corpus_path, rows)  # different size -> different sig
+        retriever2 = build_index_from_jsonl(corpus_path, **kwargs)
+        assert len(retriever2) == 12  # nothing skipped
+
 
 class TestTrainRouterCLI:
     def test_prepare_training_data_shapes(self, corpus_path, tmp_path):
@@ -151,6 +170,32 @@ class TestEvaluateCLI:
             output_dir=str(tmp_path / "ablation2"),
         )
         assert "learned_router" in arms
+
+
+class TestPipeline:
+    def test_full_pipeline_micro(self, tmp_path):
+        # End-to-end pipeline at micro scale: synth world -> encoder
+        # contrastive training -> index build with the trained encoder ->
+        # TinyLM QA fine-tuning -> router training -> conformal calibration
+        # -> batched evaluation. Asserts wiring + artifact contract; the
+        # real-scale run lives in runs/demo_quick (TPU).
+        from rag_uq_tpu.cli.run_pipeline import run_pipeline
+
+        scales = {"articles": 40, "nq": 70, "cal": 10, "test": 5,
+                  "epochs": 2, "lm_steps": 5, "enc_steps": 5,
+                  "lm_seq_len": 256, "lm_batch": 8}
+        summary = run_pipeline(
+            workdir=str(tmp_path / "pipe"), scales=scales, seed=0
+        )
+        assert summary["index"]["total_documents"] == 40
+        assert summary["encoder"]["trained"] and summary["tiny_lm"]["trained"]
+        assert summary["evaluation"]["n_queries"] == 5
+        assert (tmp_path / "pipe/pipeline_summary.json").exists()
+        assert (tmp_path / "pipe/encoder/encoder.msgpack").exists()
+        assert (tmp_path / "pipe/router/final_router.msgpack").exists()
+        assert (tmp_path / "pipe/results/evaluation_results.json").exists()
+        # Test slice is disjoint from the training pool (no reference leak).
+        assert summary["scales"]["cal"] + summary["scales"]["test"] <= 70
 
 
 class TestServe:

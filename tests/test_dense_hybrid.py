@@ -141,6 +141,33 @@ class TestHybridRetriever:
             embedder=Sha256Embedder(dim=64), dense_config=SMALL_CFG
         )
         assert r.hybrid_search("anything") == []
+        b, d, ids, texts = r.get_scores_for_router_batch(["q1", "q2"], 5)
+        assert b.shape == (2, 5) and ids == [[""] * 5] * 2
+
+    def test_batched_router_scores_match_per_query(self, retriever):
+        # The batched path must reproduce the per-query protocol: same doc
+        # ids (up to fusion-score ties) and same raw scores per doc.
+        queries = ["w1 w2 the", "w10 w3", "the of a"]
+        b_b, b_d, b_ids, b_texts = retriever.get_scores_for_router_batch(
+            queries, num_passages=10
+        )
+        for qi, q in enumerate(queries):
+            s_b, s_d, s_ids, s_texts = retriever.get_scores_for_router(q, 10)
+            by_id_batch = {
+                i: (b_b[qi][j], b_d[qi][j]) for j, i in enumerate(b_ids[qi]) if i
+            }
+            by_id_single = {
+                i: (s_b[j], s_d[j]) for j, i in enumerate(s_ids) if i
+            }
+            # Tie order at the pool tail can differ; require >= 80% id
+            # overlap and identical scores on the overlap.
+            common = set(by_id_batch) & set(by_id_single)
+            assert len(common) >= 0.8 * max(len(by_id_single), 1)
+            for doc_id in common:
+                np.testing.assert_allclose(
+                    by_id_batch[doc_id], by_id_single[doc_id], rtol=1e-5,
+                    err_msg=f"query {q!r} doc {doc_id}",
+                )
 
 
 class TestWithinBatchDedup:
