@@ -109,8 +109,28 @@ def train_extractor(
             seed=seed,
         ),
     )
+    # Resumable loop: batches are drawn with a per-step seeded rng so a
+    # restart at step s reproduces the run that never stopped (the relayed
+    # TPU can wedge; long runs must survive process restarts).
+    from rag_uq_tpu.llm.train import encode_qa_examples
+
+    data, masks = encode_qa_examples(
+        samples, seq_len, seed=seed, distractor_texts=distractors
+    )
+    logger.info("Encoded %d QA rows of %d bytes", data.shape[0], seq_len)
+    state_path = str(out / "train_state.msgpack")
+    start = trainer.restore_state(state_path)
     t0 = time.time()
-    losses = trainer.fit_qa(samples, distractor_texts=distractors)
+    for step in range(start, steps):
+        rng = np.random.default_rng((seed << 20) + step)
+        idx = rng.integers(0, data.shape[0], size=batch_size)
+        loss = trainer.train_step(data[idx], masks[idx])
+        if step % 200 == 0:
+            logger.info("step %d/%d loss %.4f", step, steps, loss)
+        if step and step % 1000 == 0:
+            trainer.save_state(state_path)
+    trainer.save_state(state_path)
+    losses = trainer.losses
     train_secs = time.time() - t0
 
     # Held-out world: seed 0 is never in the training stream (seed0=1).

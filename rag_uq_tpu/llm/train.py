@@ -269,6 +269,58 @@ class TinyLMTrainer:
 
     # -- checkpointing ---------------------------------------------------------------
 
+    def save_state(self, path: str) -> None:
+        """Full resumable training state: params + opt_state + step count.
+
+        Unlike `save_checkpoint` (inference params only), this lets a long
+        run continue across process restarts with the optimizer moments and
+        LR schedule position intact.
+        """
+        import json
+        from pathlib import Path
+
+        from flax import serialization
+
+        Path(path).parent.mkdir(parents=True, exist_ok=True)
+        tmp = str(path) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(serialization.to_bytes(
+                {"params": self.params, "opt_state": self.opt_state}
+            ))
+        import os
+
+        os.replace(tmp, path)
+        with open(str(path) + ".json", "w") as f:
+            json.dump({
+                "model_config": vars(self.model_config),
+                "train_config": vars(self.config),
+                "n_steps": len(self.losses),
+                "losses_tail": self.losses[-50:],
+            }, f)
+
+    def restore_state(self, path: str) -> int:
+        """Restore params/opt_state saved by `save_state`; returns the step
+        count to resume from (0 if no checkpoint exists)."""
+        import json
+        import os
+
+        from flax import serialization
+
+        if not os.path.exists(path):
+            return 0
+        with open(str(path) + ".json") as f:
+            meta = json.load(f)
+        with open(path, "rb") as f:
+            restored = serialization.from_bytes(
+                {"params": self.params, "opt_state": self.opt_state}, f.read()
+            )
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.losses = list(meta.get("losses_tail", []))
+        logger.info("Restored training state from %s at step %d",
+                    path, meta["n_steps"])
+        return int(meta["n_steps"])
+
     def save_checkpoint(self, path: str) -> None:
         """Trained params + model/train config (msgpack + json sidecar)."""
         import json

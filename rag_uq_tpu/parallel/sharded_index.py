@@ -27,9 +27,11 @@ from rag_uq_tpu.core.mesh import CORPUS_AXIS
 from rag_uq_tpu.embed.base import Embedder, get_embedder
 from rag_uq_tpu.index.sparse import BM25Index, _next_pow2
 from rag_uq_tpu.parallel.sharding import (
+    make_fused_sharded_query,
     make_sharded_bm25_topk,
     make_sharded_dense_topk,
     shard_bm25_state,
+    shard_bm25_twotier,
     shard_corpus_matrix,
 )
 from rag_uq_tpu.retrieval.fused import merge_pools
@@ -115,11 +117,15 @@ class ShardedHybridIndex:
             },
             self.mesh,
         )
+        # Fast-sparse layout for the fused one-program path: per-shard
+        # two-tier impact matrices with global statistics.
+        twotier = shard_bm25_twotier(csr, self.mesh, shard_cap, self.bm25.config)
         self._synced = {
             "emb": emb_sharded,
             "cap": cap,
             "shard_cap": shard_cap,
             "bm25": bm25_sharded,
+            "twotier": twotier,
             "max_df": csr["max_df"],
         }
         logger.info(
@@ -199,14 +205,84 @@ class ShardedHybridIndex:
 
     # -- queries -------------------------------------------------------------------
 
+    def _get_fused(self, state, top_k: int, pool: int, exact: bool,
+                   router, sparse_mode: str):
+        router_key = tuple(sorted(vars(router.config).items())) if router else None
+        key = ("fused", top_k, pool, exact, router_key, sparse_mode,
+               state["shard_cap"], state["twotier"]["beam"])
+        if key not in self._searchers:
+            self._searchers[key] = make_fused_sharded_query(
+                self.mesh,
+                shard_cap=state["shard_cap"],
+                router_module=router.module if router is not None else None,
+                k=top_k,
+                pool=pool,
+                beam=state["twotier"]["beam"],
+                approx_topk=not exact,
+                dense_approx=False,
+                sparse_mode=sparse_mode,
+                lsel=self.bm25.config.lsel,
+                nonneg=state["twotier"]["nonneg"],
+            )
+        return self._searchers[key]
+
     def search_batch(
         self,
         queries: Sequence[str],
         top_k: int = 10,
         pool: int = 50,
         router=None,
+        exact: bool = False,
+        sparse_mode: str = "twotier",
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Sharded hybrid search: (scores [B, k], global doc positions [B, k])."""
+        """Fused sharded hybrid search (ONE device program).
+
+        (scores [B, k], global doc positions [B, k]). `exact=True` switches
+        the per-shard top-k branches from approx_max_k to exact top_k (the
+        parity mode used against `search_batch_unfused` and the single-chip
+        fused path).
+        """
+        state = self.sync()
+        pool = min(pool, max(len(self), 1))
+        top_k = min(top_k, 2 * pool)
+        fused = self._get_fused(state, top_k, pool, exact, router, sparse_mode)
+
+        vecs = np.asarray(self.embedder.encode(queries))
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        qtids = jnp.asarray(self.bm25.encode_queries(queries))
+        tt = state["twotier"]
+        fused_state = {
+            "emb": state["emb"],
+            "low_ranges": tt["low_ranges"],
+            "post_packed": tt["post_packed"],
+            "term_row": tt["term_row"],
+            "impact": tt["impact"],
+            "impact_scale": tt["impact_scale"],
+            "size": jnp.int32(len(self)),
+        }
+        q_vecs = jnp.asarray(vecs).astype(state["emb"].dtype)
+        if router is not None:
+            vals, pos = fused(
+                fused_state, q_vecs, qtids,
+                {"params": router.params, "stats": router.stats},
+            )
+        else:
+            vals, pos = fused(fused_state, q_vecs, qtids)
+        return np.asarray(vals), np.asarray(pos)
+
+    def search_batch_unfused(
+        self,
+        queries: Sequence[str],
+        top_k: int = 10,
+        pool: int = 50,
+        router=None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Three-program sharded hybrid search (exact oracle twin).
+
+        Kept as the parity reference for `search_batch`: exhaustive
+        scatter-add BM25 per shard + exact streaming dense top-k, merged on
+        the host — slower, but with no approximation anywhere.
+        """
         state = self.sync()
         pool = min(pool, max(len(self), 1))
         dense_topk, bm25_topk = self._get_searchers(

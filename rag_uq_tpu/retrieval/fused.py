@@ -75,6 +75,46 @@ def merge_pools(
     return positions, bm25_col, dense_col
 
 
+def fuse_pools_select(
+    bvals: jax.Array,
+    bidx: jax.Array,
+    dvals: jax.Array,
+    didx: jax.Array,
+    k: int,
+    router_module=None,
+    router_vars=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Union-merge the two pools, fuse (router or fixed), select final top-k.
+
+    The shared tail of the single-chip fused query and the sharded fused
+    query (parallel/sharding.py::make_fused_sharded_query) — one definition
+    so the two paths cannot drift. Reference semantics:
+    streaming_index.py:498-521 (union + mean-of-max-normalized fusion) or
+    retrieval_router.py:199 (learned gating).
+    """
+    positions, bm25_scores, dense_scores = merge_pools(bvals, bidx, dvals, didx)
+    live = positions >= 0
+
+    if router_module is not None and router_vars is not None:
+        weights = router_module.apply(
+            router_vars, bm25_scores, dense_scores,
+            update_stats=False, train=False,
+        )
+        hybrid = weights * dense_scores + (1.0 - weights) * bm25_scores
+    else:
+        # Reference fixed fusion: mean of per-query max-normalized scores.
+        max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
+        max_d = jnp.maximum(jnp.max(dense_scores, axis=-1, keepdims=True), 1e-12)
+        hybrid = (bm25_scores / max_b + dense_scores / max_d) / 2.0
+
+    hybrid = jnp.where(live, hybrid, -jnp.inf)
+    vals, sel = jax.lax.top_k(hybrid, k)
+    out_pos = jnp.take_along_axis(positions, sel, axis=-1)
+    out_pos = jnp.where(jnp.isneginf(vals), -1, out_pos)
+    vals = jnp.where(jnp.isneginf(vals), 0.0, vals)
+    return vals, out_pos
+
+
 def make_fused_hybrid_query(
     router_module=None,
     k: int = 10,
@@ -174,27 +214,10 @@ def make_fused_hybrid_query(
             bvals = jnp.where(dead, 0.0, bvals)
             bidx = jnp.where(dead, -1, bidx)
 
-        positions, bm25_scores, dense_scores = merge_pools(bvals, bidx, dvals, didx)
-        live = positions >= 0
-
-        if router_module is not None and router_vars is not None:
-            weights = router_module.apply(
-                router_vars, bm25_scores, dense_scores,
-                update_stats=False, train=False,
-            )
-            hybrid = weights * dense_scores + (1.0 - weights) * bm25_scores
-        else:
-            # Reference fixed fusion: mean of per-query max-normalized scores.
-            max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
-            max_d = jnp.maximum(jnp.max(dense_scores, axis=-1, keepdims=True), 1e-12)
-            hybrid = (bm25_scores / max_b + dense_scores / max_d) / 2.0
-
-        hybrid = jnp.where(live, hybrid, -jnp.inf)
-        vals, sel = jax.lax.top_k(hybrid, k)
-        out_pos = jnp.take_along_axis(positions, sel, axis=-1)
-        out_pos = jnp.where(jnp.isneginf(vals), -1, out_pos)
-        vals = jnp.where(jnp.isneginf(vals), 0.0, vals)
-        return vals, out_pos
+        return fuse_pools_select(
+            bvals, bidx, dvals, didx, k,
+            router_module=router_module, router_vars=router_vars,
+        )
 
     return fused
 

@@ -40,6 +40,9 @@ def sharded(corpus, embedder):
     idx = ShardedHybridIndex(
         make_mesh(8),
         embedder=embedder,
+        # float32 impacts so exact-mode fused results are bit-comparable to
+        # the exhaustive scatter-add oracle (bf16 storage rounds scores).
+        bm25_config=BM25Config(impact_dtype="float32"),
         dense_config=DenseIndexConfig(embedding_dim=64),
     )
     idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
@@ -92,19 +95,58 @@ def _single_chip_reference(corpus, embedder, queries, pool, k, router=None):
 
 class TestShardedHybridIndex:
     def test_matches_single_chip(self, corpus, embedder, sharded):
-        sv, sp = sharded.search_batch(QUERIES, top_k=10, pool=20)
+        sv, sp = sharded.search_batch(QUERIES, top_k=10, pool=20, exact=True)
         rv, rp = _single_chip_reference(corpus, embedder, QUERIES, pool=20, k=10)
         np.testing.assert_allclose(sv, rv, rtol=1e-4)
         np.testing.assert_array_equal(sp, rp)
 
+    def test_fused_matches_unfused_oracle(self, sharded):
+        """The one-program fused path == the three-program exact twin."""
+        fv, fp = sharded.search_batch(QUERIES, top_k=10, pool=20, exact=True)
+        uv, up = sharded.search_batch_unfused(QUERIES, top_k=10, pool=20)
+        np.testing.assert_array_equal(fp, up)
+        np.testing.assert_allclose(fv, uv, rtol=1e-5, atol=1e-6)
+
+    def test_fused_scatter_mode_matches_twotier(self, sharded):
+        fv, fp = sharded.search_batch(QUERIES, top_k=10, pool=20, exact=True)
+        sv, sp = sharded.search_batch(
+            QUERIES, top_k=10, pool=20, exact=True, sparse_mode="scatter"
+        )
+        np.testing.assert_array_equal(sp, fp)
+        np.testing.assert_allclose(sv, fv, rtol=1e-5, atol=1e-6)
+
+    def test_fused_approx_overlaps_exact(self, sharded):
+        """The approx hot path must stay close to exact at these scales
+        (on the CPU backend approx_max_k degenerates to exact)."""
+        fv, fp = sharded.search_batch(QUERIES, top_k=10, pool=20, exact=True)
+        av, ap = sharded.search_batch(QUERIES, top_k=10, pool=20, exact=False)
+        overlap = np.mean([
+            len(set(a[a >= 0]) & set(b[b >= 0])) / max((b >= 0).sum(), 1)
+            for a, b in zip(ap, fp)
+        ])
+        assert overlap >= 0.9
+
     def test_router_fusion(self, corpus, embedder, sharded):
         router = RetrievalRouter()
-        sv, sp = sharded.search_batch(QUERIES, top_k=5, pool=20, router=router)
+        sv, sp = sharded.search_batch(
+            QUERIES, top_k=5, pool=20, router=router, exact=True
+        )
         rv, rp = _single_chip_reference(
             corpus, embedder, QUERIES, pool=20, k=5, router=router
         )
         np.testing.assert_array_equal(sp, rp)
         np.testing.assert_allclose(sv, rv, rtol=1e-4)
+
+    def test_router_fused_matches_unfused(self, sharded):
+        router = RetrievalRouter()
+        fv, fp = sharded.search_batch(
+            QUERIES, top_k=5, pool=20, router=router, exact=True
+        )
+        uv, up = sharded.search_batch_unfused(
+            QUERIES, top_k=5, pool=20, router=router
+        )
+        np.testing.assert_array_equal(fp, up)
+        np.testing.assert_allclose(fv, uv, rtol=1e-5, atol=1e-6)
 
     def test_save_load_roundtrip(self, corpus, embedder, sharded, tmp_path):
         sv, sp = sharded.search_batch(QUERIES[:2], top_k=5, pool=20)
@@ -116,6 +158,19 @@ class TestShardedHybridIndex:
         restored.load(str(tmp_path / "ckpt"))
         assert len(restored) == len(sharded)
         rv, rp = restored.search_batch(QUERIES[:2], top_k=5, pool=20)
+        np.testing.assert_array_equal(sp, rp)
+        np.testing.assert_allclose(sv, rv, rtol=1e-4)
+
+    def test_save_load_roundtrip_unfused(self, corpus, embedder, sharded,
+                                         tmp_path):
+        sv, sp = sharded.search_batch_unfused(QUERIES[:2], top_k=5, pool=20)
+        sharded.save(str(tmp_path / "ckpt"))
+        restored = ShardedHybridIndex(
+            make_mesh(8), embedder=embedder,
+            dense_config=DenseIndexConfig(embedding_dim=64),
+        )
+        restored.load(str(tmp_path / "ckpt"))
+        rv, rp = restored.search_batch_unfused(QUERIES[:2], top_k=5, pool=20)
         np.testing.assert_array_equal(sp, rp)
         np.testing.assert_allclose(sv, rv, rtol=1e-4)
 
