@@ -107,6 +107,13 @@ class UQConfig:
     max_tokens: int = 100
     alpha: float = 0.1  # conformal miscoverage
     calibration_db_path: str = "data/calibration_scores.db"
+    # Conformal nonconformity score function: "length_ratio" keeps the
+    # reference's heuristic (calibrate on 1-ROUGE, estimate at inference
+    # from the answer/context length ratio — confidence.py:533-539);
+    # "mc_variance" uses the MC-sampling disagreement as the SAME score at
+    # calibration and inference (exchangeable => the coverage guarantee
+    # actually holds; see uq/conformal.py).
+    nonconformity: str = "length_ratio"
 
 
 @dataclass

@@ -68,14 +68,67 @@ class ConformalRAG:
         llm_client,
         calibration_db_path: str = "data/calibration_scores.db",
         alpha: float = 0.1,
+        nonconformity_mode: str = "length_ratio",
+        mc=None,
+        n_mc_samples: int = 8,
     ):
+        """`nonconformity_mode` selects the score function:
+
+        - "length_ratio" (default, reference parity): calibration scores
+          are 1 - ROUGE-L against the truth; inference estimates
+          nonconformity with the answer/context length-ratio heuristic
+          (confidence.py:533-539). NOTE the two are DIFFERENT functions, so
+          the conformal guarantee is heuristic — kept as the behavioral
+          parity contract.
+        - "mc_variance": nonconformity = the MC-sampling uncertainty score
+          (uq/mc.py embedding-variance disagreement), computed by the SAME
+          function at calibration and inference with no truth needed — the
+          scores are exchangeable, so P(p_value > alpha) = 1 - alpha holds
+          by the split-conformal argument (tested on synthetic exchangeable
+          data). `mc` supplies the estimator (an MCDropoutConfidence);
+          built from the llm_client with `n_mc_samples` when omitted.
+        """
+        if nonconformity_mode not in ("length_ratio", "mc_variance"):
+            raise ValueError(f"unknown nonconformity_mode {nonconformity_mode!r}")
         self.llm = llm_client
         self.alpha = alpha
+        self.nonconformity_mode = nonconformity_mode
+        self._mc = mc
+        self._n_mc_samples = n_mc_samples
         self.db_path = Path(calibration_db_path)
         self.calibration_scores: List[float] = []
         self._scores_device: Optional[jax.Array] = None
         self._init_database()
         self._load_calibration()
+
+    # Instruction line fed to MCDropoutConfidence.build_prompt so the MC
+    # samples see the same template as _build_prompt.
+    _MC_INSTRUCTION = (
+        "Answer the following question based on the provided context.\n"
+        "Be concise and precise."
+    )
+
+    def _mc_score(self, question: str, context: str):
+        """(uncertainty score, consensus answer) from MC sampling.
+
+        The sampler is seeded from the example's query hash, so the score
+        is a deterministic function of the example — calibration rows are
+        reproducible across resumes and equal the inference-time estimate
+        for the same (question, context). (A user-supplied `mc` estimator
+        keeps its own randomness instead.)
+        """
+        if self._mc is not None:
+            res = self._mc.get_confidence_interval(
+                self._MC_INSTRUCTION, context, question
+            )
+        else:
+            from rag_uq_tpu.uq.mc import MCDropoutConfidence
+
+            seed = int(self._compute_query_hash(question, context)[:8], 16)
+            res = MCDropoutConfidence(
+                self.llm, n_samples=self._n_mc_samples, seed=seed
+            ).get_confidence_interval(self._MC_INSTRUCTION, context, question)
+        return float(res.uncertainty_score), res.consensus_answer
 
     # -- storage -----------------------------------------------------------------
 
@@ -174,26 +227,39 @@ class ConformalRAG:
         batch_size = 32
         for start in range(0, len(pending), batch_size):
             chunk = pending[start : start + batch_size]
-            prompts = [self._build_prompt(ctx, q) for _, q, ctx, _ in chunk]
-            if hasattr(self.llm, "generate_batch"):
-                try:
-                    preds = self.llm.generate_batch(
-                        prompts,
-                        [0.1] * len(prompts),
-                        [0.9] * len(prompts),
-                        max_tokens=100,
-                    )
-                except Exception as e:
-                    logger.error("Batched generation failed: %s", e)
-                    preds = [""] * len(prompts)
+            if self.nonconformity_mode == "mc_variance":
+                # Same score function as inference (no truth needed):
+                # exchangeable scores => valid split-conformal p-values.
+                scored = [self._mc_score(q, ctx) for _, q, ctx, _ in chunk]
+                uncertainties = [u for u, _ in scored]
+                preds = [p for _, p in scored]
             else:
-                preds = [self._generate(ctx, q) for _, q, ctx, _ in chunk]
+                uncertainties = None
+                prompts = [self._build_prompt(ctx, q) for _, q, ctx, _ in chunk]
+                if hasattr(self.llm, "generate_batch"):
+                    try:
+                        preds = self.llm.generate_batch(
+                            prompts,
+                            [0.1] * len(prompts),
+                            [0.9] * len(prompts),
+                            max_tokens=100,
+                        )
+                    except Exception as e:
+                        logger.error("Batched generation failed: %s", e)
+                        preds = [""] * len(prompts)
+                else:
+                    preds = [self._generate(ctx, q) for _, q, ctx, _ in chunk]
             preds = [p.strip() for p in preds]
 
             with sqlite3.connect(self.db_path) as conn:
-                for (query_hash, q, ctx, true), pred in zip(chunk, preds):
+                for i, ((query_hash, q, ctx, true), pred) in enumerate(
+                    zip(chunk, preds)
+                ):
                     rouge = self.rouge_l(pred, true)
-                    nonconformity = 1.0 - rouge
+                    nonconformity = (
+                        uncertainties[i] if uncertainties is not None
+                        else 1.0 - rouge
+                    )
                     conn.execute(
                         """
                         INSERT OR REPLACE INTO calibration_scores
@@ -241,7 +307,11 @@ class ConformalRAG:
         self, question: str, context: str, model: Optional[str] = None
     ) -> ConformalResult:
         """Prediction + conformal reliability (parity :495-561)."""
-        pred = self._generate(context, question)
+        if self.nonconformity_mode == "mc_variance":
+            estimated, pred = self._mc_score(question, context)
+        else:
+            pred = self._generate(context, question)
+            estimated = None
 
         if self._scores_device is None:
             return ConformalResult(
@@ -254,7 +324,8 @@ class ConformalRAG:
             )
 
         threshold = self.get_conformal_threshold()
-        estimated = self.estimate_nonconformity(pred, context)
+        if estimated is None:
+            estimated = self.estimate_nonconformity(pred, context)
         p_value = float(
             conformal_p_value_device(self._scores_device, jnp.float32(estimated))
         )

@@ -152,6 +152,80 @@ class TestConformal:
         assert coverage >= 0.9 - 0.02
 
 
+class _LatentDifficultyLLM:
+    """Deterministic fake: per-prompt latent difficulty controls how
+    diverse the K sampled answers are. Same prompt -> same behavior, so
+    calibration and test examples drawn iid share one score distribution
+    (exchangeability for the mc_variance conformal mode)."""
+
+    WORDS = [f"word{i}" for i in range(40)]
+
+    def generate_batch(self, prompts, temperatures, top_ps, max_tokens=100,
+                       seed=None):
+        outs = []
+        for i, p in enumerate(prompts):
+            rng = np.random.default_rng(abs(hash(p)) % (2**32))
+            difficulty = rng.uniform()
+            vocab = max(1, int(difficulty * 12))
+            # Each sample draws a fresh word set; more vocab => more spread.
+            idx = np.random.default_rng(
+                (abs(hash(p)) + i + (seed or 0)) % (2**32)
+            ).integers(0, vocab, size=3)
+            outs.append(" ".join(self.WORDS[j] for j in idx))
+        return outs
+
+    def generate(self, prompt, **kw):
+        return self.generate_batch([prompt], [0.1], [0.9])[0]
+
+
+class TestMCVarianceNonconformity:
+    def test_rejects_unknown_mode(self, db_path):
+        with pytest.raises(ValueError):
+            ConformalRAG(MockLLM(), calibration_db_path=db_path,
+                         nonconformity_mode="bogus")
+
+    def test_same_score_function_both_phases(self, db_path):
+        """In mc_variance mode the calibration score of an example equals
+        the inference-time estimate for the same example (one function)."""
+        llm = _LatentDifficultyLLM()
+        conf = ConformalRAG(llm, calibration_db_path=db_path,
+                            nonconformity_mode="mc_variance", n_mc_samples=4)
+        q, ctx = "what is word3?", "word3 is a thing among things"
+        conf.calibrate([q], [ctx], ["word3"])
+        stored = conf.calibration_scores[0]
+        res = conf.predict_with_coverage(q, ctx)
+        est = res.metadata["estimated_nonconformity"]
+        assert stored == pytest.approx(est, abs=1e-6)
+
+    def test_coverage_holds_on_exchangeable_data(self, db_path):
+        """Empirical P(p_value > alpha) ~= 1 - alpha when calibration and
+        test examples are iid (the guarantee the length-ratio heuristic
+        mode cannot give)."""
+        llm = _LatentDifficultyLLM()
+        conf = ConformalRAG(llm, calibration_db_path=db_path,
+                            nonconformity_mode="mc_variance", n_mc_samples=6,
+                            alpha=0.1)
+        rng = np.random.default_rng(7)
+
+        def example(i):
+            words = [f"tok{int(rng.integers(0, 1000))}" for _ in range(6)]
+            return f"question about {words[0]} {i}", " ".join(words)
+
+        cal = [example(i) for i in range(150)]
+        conf.calibrate([q for q, _ in cal], [c for _, c in cal],
+                       ["x"] * len(cal))
+        assert len(conf.calibration_scores) == 150
+
+        test = [example(1000 + i) for i in range(300)]
+        reliable = [
+            conf.predict_with_coverage(q, c).is_reliable for q, c in test
+        ]
+        coverage = float(np.mean(reliable))
+        # Exact finite-sample rate: 1 - floor(alpha*(n+1))/(n+1) = 0.9007;
+        # allow ~3 binomial standard deviations at n_test=300.
+        assert 0.84 <= coverage <= 0.97
+
+
 class TestHybridConfidence:
     def test_composition(self, db_path):
         llm = MockLLM(["Paris.", "It is Paris.", "paris"])
