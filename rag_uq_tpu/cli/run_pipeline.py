@@ -133,22 +133,53 @@ def run_pipeline(
     index_report = verify_index(retriever)
     timings["index_build_s"] = round(time.time() - t0, 1)
 
-    # Step 3.5: TinyLM QA fine-tuning (the framework's own llama3.2;
-    # VERDICT r1 missing #3).
+    # Step 3.5: TinyLM generator (the framework's own llama3.2; VERDICT r1
+    # missing #3). Preferred path: start from the pretrained EXTRACTOR
+    # checkpoint (cli/train_lm.py — copy-from-context learned on a large
+    # multi-world QA stream where memorization is impossible) and lightly
+    # fine-tune on this pipeline's train slice; fallback: train from
+    # scratch on the pipeline QAs alone (memorizes train answers, near-zero
+    # held-out EM — the round-1 failure mode).
     lm_info = {"trained": False, "llm": type(llm).__name__ if llm else None}
+    lm_ckpt = scales.get("lm_checkpoint", "models/tiny_lm/tiny_lm.msgpack")
     if llm is None and train_lm and fit_samples:
+        from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
         from rag_uq_tpu.llm.train import LMTrainConfig, TinyLMTrainer
 
         t0 = time.time()
-        lm_trainer = TinyLMTrainer(
-            config=LMTrainConfig(
-                seq_len=scales.get("lm_seq_len", 768),
-                batch_size=scales.get("lm_batch", 32),
-                total_steps=scales["lm_steps"],
-                warmup_steps=min(100, max(scales["lm_steps"] // 10, 1)),
-                seed=seed,
-            ),
-        )
+        pretrained = Path(lm_ckpt).exists()
+        if pretrained:
+            from flax import serialization
+
+            with open(str(lm_ckpt) + ".json") as f:
+                ckpt_meta = json.load(f)
+            model_cfg = TinyLMConfig(**ckpt_meta["model_config"])
+            ft_steps = scales.get("lm_ft_steps", max(scales["lm_steps"] // 5, 200))
+            lm_trainer = TinyLMTrainer(
+                model_cfg,
+                LMTrainConfig(
+                    seq_len=scales.get("lm_seq_len", 768),
+                    batch_size=scales.get("lm_batch", 32),
+                    total_steps=ft_steps,
+                    warmup_steps=min(50, max(ft_steps // 10, 1)),
+                    learning_rate=1e-4,
+                    seed=seed,
+                ),
+            )
+            with open(lm_ckpt, "rb") as f:
+                lm_trainer.params = serialization.from_bytes(
+                    lm_trainer.params, f.read()
+                )
+        else:
+            lm_trainer = TinyLMTrainer(
+                config=LMTrainConfig(
+                    seq_len=scales.get("lm_seq_len", 768),
+                    batch_size=scales.get("lm_batch", 32),
+                    total_steps=scales["lm_steps"],
+                    warmup_steps=min(100, max(scales["lm_steps"] // 10, 1)),
+                    seed=seed,
+                ),
+            )
         lm_losses = lm_trainer.fit_qa(
             fit_samples,
             distractor_texts=[
@@ -159,6 +190,7 @@ def run_pipeline(
         llm = lm_trainer.export_sampler(seed=seed)
         lm_info = {
             "trained": True,
+            "pretrained_checkpoint": lm_ckpt if pretrained else None,
             "steps": len(lm_losses),
             "first_loss": lm_losses[0],
             "final_loss": lm_losses[-1],

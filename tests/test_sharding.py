@@ -129,3 +129,24 @@ class TestPoolExceedsShardCap:
         ov, oi = cosine_topk(jnp.asarray(emb), jnp.asarray(q),
                              jnp.int32(size), 200, block=256)
         np.testing.assert_array_equal(np.asarray(si), np.asarray(oi))
+
+
+class TestMultihostSeam:
+    """DCN seam (core/mesh.py): single-process no-op behavior — the
+    multi-host path needs real multi-host hardware and is documented as
+    untestable in this environment."""
+
+    def test_initialize_noop_without_coordinator(self, monkeypatch):
+        from rag_uq_tpu.core.mesh import initialize_distributed
+
+        for var in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                    "JAX_PROCESS_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert initialize_distributed() is False
+
+    def test_multihost_mesh_falls_back_single_process(self):
+        import jax
+        from rag_uq_tpu.core.mesh import CORPUS_AXIS, make_multihost_mesh
+
+        mesh = make_multihost_mesh()
+        assert mesh.shape[CORPUS_AXIS] == len(jax.devices())
