@@ -1,0 +1,200 @@
+"""1M-passage sharded retrieval bench on the virtual 8-device mesh.
+
+BASELINE.json config 5 ("1M-passage corpus sharded across v5e-8, streaming
+ingest + per-shard top-k merged over ICI"): no multi-chip hardware exists in
+this environment, so this run executes the REAL fused sharded program
+(parallel/sharding.py::make_fused_sharded_query — per-shard two-tier BM25 +
+dense top-pool, one ICI all-gather per pool, fused tail) over 8 virtual CPU
+devices at the full 1M-passage scale. What it proves / measures:
+
+- the 1M-scale sharded layout builds and the one-program query compiles and
+  runs (shapes, memory budget honored per shard);
+- fused-exact results are identical to the three-program unfused oracle at
+  this scale (correctness at 1M);
+- wall-clock on the CPU backend (NOT a TPU throughput claim — the CPU mesh
+  time-slices one core). The TPU projection is in the results JSON: each
+  v5e shard holds 1M/8 = 125k passages, the shape the single-chip TPU bench
+  (bench.py, 131k passages) measures at ~29k QPS/chip; the added sharded
+  work is one [S, B, pool] all-gather over ICI (a few MB, sub-ms) plus the
+  replicated merge tail that the single-chip program already contains.
+
+Run: python -m rag_uq_tpu.cli.bench_sharded  -> runs/sharded_1m/results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _force_cpu_mesh(n_devices: int) -> None:
+    import os
+
+    os.environ.setdefault(
+        "XLA_FLAGS",
+        f"--xla_force_host_platform_device_count={n_devices}",
+    )
+    import jax
+
+    if jax.default_backend() != "cpu" or len(jax.devices()) < n_devices:
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
+
+
+def synthetic_corpus_texts(n_docs: int, seed: int = 0):
+    """~20-token docs over a Zipf-ish 50k vocabulary, generated in bulk."""
+    rng = np.random.default_rng(seed)
+    vocab_size = 50_000
+    # Zipf ranks: common terms get small ids (high df), tail terms high ids.
+    u = rng.random(size=(n_docs, 20))
+    ids = np.minimum(
+        (vocab_size ** u - 1).astype(np.int64), vocab_size - 1
+    )
+    logger.info("Generated %d docs of token ids", n_docs)
+    return [" ".join(f"t{t}" for t in row) for row in ids]
+
+
+def run_bench(
+    n_docs: int = 1_000_000,
+    n_devices: int = 8,
+    batch: int = 256,
+    pool: int = 50,
+    k: int = 10,
+    impact_budget_mb: int = 128,
+    outdir: str = "runs/sharded_1m",
+    seed: int = 0,
+) -> dict:
+    _force_cpu_mesh(n_devices)
+    import jax
+
+    from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig
+    from rag_uq_tpu.core.mesh import make_mesh
+    from rag_uq_tpu.core.types import Document
+    from rag_uq_tpu.embed.hash_embed import NgramHashEmbedder
+    from rag_uq_tpu.parallel.sharded_index import ShardedHybridIndex
+
+    out = Path(outdir)
+    out.mkdir(parents=True, exist_ok=True)
+    results: dict = {
+        "n_docs": n_docs,
+        "n_devices": n_devices,
+        "backend": jax.default_backend(),
+        "batch": batch,
+        "pool": pool,
+        "k": k,
+    }
+
+    t0 = time.time()
+    texts = synthetic_corpus_texts(n_docs, seed=seed)
+    results["corpus_gen_s"] = round(time.time() - t0, 1)
+
+    idx = ShardedHybridIndex(
+        make_mesh(n_devices),
+        embedder=NgramHashEmbedder(dim=128, buckets=1 << 16),
+        bm25_config=BM25Config(
+            initial_doc_capacity=1 << 20,
+            initial_postings_capacity=1 << 25,
+            impact_budget_bytes=impact_budget_mb << 20,
+        ),
+        dense_config=DenseIndexConfig(embedding_dim=128),
+    )
+    t0 = time.time()
+    docs = [Document(str(i), t) for i, t in enumerate(texts)]
+    results["doc_wrap_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    idx.add_documents(docs, batch_size=8192)
+    results["ingest_s"] = round(time.time() - t0, 1)
+    logger.info("Ingested %d docs in %.0fs", len(idx), results["ingest_s"])
+
+    t0 = time.time()
+    state = idx.sync()
+    results["shard_layout_s"] = round(time.time() - t0, 1)
+    results["shard_cap"] = state["shard_cap"]
+    tt = state["twotier"]
+    results["twotier"] = {
+        "tcap": tt["tcap"],
+        "beam": tt["beam"],
+        "pcap_per_shard": tt["pcap"],
+        "impact_bytes_per_shard": int(
+            tt["tcap"] * state["shard_cap"] * tt["impact"].dtype.itemsize
+        ),
+    }
+    logger.info("Shard layout: %s", results["twotier"])
+
+    # Queries: mix of common and tail terms.
+    rng = np.random.default_rng(seed + 1)
+    queries = [
+        " ".join(
+            f"t{int((50_000 ** rng.random()) - 1)}" for _ in range(5)
+        )
+        for _ in range(batch)
+    ]
+
+    # Correctness at scale: fused exact == unfused oracle (first 16 queries).
+    t0 = time.time()
+    fv, fp = idx.search_batch(queries[:16], top_k=k, pool=pool, exact=True)
+    results["fused_exact_first_batch_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    uv, up = idx.search_batch_unfused(queries[:16], top_k=k, pool=pool)
+    results["unfused_first_batch_s"] = round(time.time() - t0, 1)
+    agree = float(np.mean(fp == up))
+    results["fused_vs_unfused_idx_agreement"] = agree
+    if agree != 1.0:
+        logger.warning("fused/unfused disagreement at 1M: %.4f", agree)
+
+    # Timed approx hot path (CPU backend wall-clock, incl. compile noted
+    # separately).
+    t0 = time.time()
+    idx.search_batch(queries, top_k=k, pool=pool)  # compile
+    results["approx_compile_plus_first_s"] = round(time.time() - t0, 1)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        idx.search_batch(queries, top_k=k, pool=pool)
+        times.append(time.time() - t0)
+    results["approx_steady_s_per_batch"] = round(float(np.mean(times)), 2)
+    results["cpu_mesh_qps"] = round(batch / float(np.mean(times)), 1)
+    results["note"] = (
+        "CPU-backend wall clock (8 virtual devices time-slicing 1 core) — "
+        "correctness + compile proof at 1M, not a TPU throughput claim. "
+        "TPU projection: 1M/8 = 125k passages/shard, the single-chip bench "
+        "shape (bench.py: ~29k QPS at 131k passages/chip); sharded adds one "
+        "[S,B,pool] ICI all-gather per pool (~few MB) + the replicated "
+        "merge tail already present single-chip."
+    )
+
+    with open(out / "results.json", "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info("Results: %s", json.dumps(results, indent=2))
+    return results
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    parser = argparse.ArgumentParser(
+        description="1M-passage sharded retrieval bench (virtual mesh)"
+    )
+    parser.add_argument("--docs", type=int, default=1_000_000)
+    parser.add_argument("--devices", type=int, default=8)
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--impact-budget-mb", type=int, default=128)
+    parser.add_argument("--outdir", default="runs/sharded_1m")
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+    run_bench(
+        n_docs=args.docs, n_devices=args.devices, batch=args.batch,
+        impact_budget_mb=args.impact_budget_mb, outdir=args.outdir,
+    )
+
+
+if __name__ == "__main__":
+    main()
