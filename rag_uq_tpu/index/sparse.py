@@ -38,6 +38,74 @@ def _next_pow2(n: int, floor: int = 1) -> int:
     return 1 << (n - 1).bit_length()
 
 
+def build_delta_csr(
+    tid: np.ndarray,
+    doc: np.ndarray,
+    tf: np.ndarray,
+    doc_lens: Sequence[int],
+    vsize: int,
+    base: Dict[str, object],
+    k1: float,
+    b: float,
+    n_delta_docs: int,
+    vcap_min: int = 0,
+) -> Dict[str, object]:
+    """Delta CSR (np arrays) over postings added since a base snapshot.
+
+    Impacts use the base's FROZEN idf/avgdl: known terms reuse the base
+    idf; terms first seen in the delta get an idf from the frozen corpus
+    size + their delta df, floored at the frozen epsilon like rank_bm25.
+    Shared by the single-chip main+delta sync (_sync_incremental_locked)
+    and the sharded index's replicated-delta streaming ingest.
+
+    `base` needs keys: docs, idf (np array), eps, avgdl. `doc` holds GLOBAL
+    doc positions; the output post_doc is delta-local (doc - base docs).
+    """
+    tf = tf.astype(np.float64)
+    order = np.argsort(tid, kind="stable")
+    tid_s, doc_s, tf_s = tid[order], doc[order], tf[order]
+    df_delta = np.bincount(tid_s, minlength=vsize).astype(np.int64)
+    indptr = np.zeros(vsize + 1, dtype=np.int64)
+    np.cumsum(df_delta, out=indptr[1:])
+
+    idf = np.zeros(vsize, dtype=np.float64)
+    base_idf = np.asarray(base["idf"])
+    n_known = base_idf.shape[0]
+    idf[:n_known] = base_idf
+    new_terms = np.arange(n_known, vsize)
+    if new_terms.size:
+        dfn = np.maximum(df_delta[new_terms], 1)
+        idf_new = np.log(base["docs"] - dfn + 0.5) - np.log(dfn + 0.5)
+        idf[new_terms] = np.where(idf_new < 0, base["eps"], idf_new)
+
+    dl = (
+        np.asarray(doc_lens, dtype=np.float64)[doc_s]
+        if doc_s.size else np.zeros(0)
+    )
+    denom = tf_s + k1 * (1.0 - b + b * dl / base["avgdl"])
+    w_s = idf[tid_s] * tf_s * (k1 + 1.0) / np.maximum(denom, 1e-12)
+
+    n_dp = tid_s.shape[0]
+    pcap = _next_pow2(max(n_dp, 1), floor=256)
+    vcap = max(vcap_min, _next_pow2(vsize, floor=1024))
+    indptr_p = np.full(vcap + 1, n_dp, dtype=np.int32)
+    indptr_p[: vsize + 1] = indptr.astype(np.int32)
+    post_doc = np.zeros(pcap, dtype=np.int32)
+    post_doc[:n_dp] = (doc_s - base["docs"]).astype(np.int32)  # delta-local
+    post_w = np.zeros(pcap, dtype=np.float32)
+    post_w[:n_dp] = w_s.astype(np.float32)
+    return {
+        "indptr": indptr_p,
+        "post_doc": post_doc,
+        "post_w": post_w,
+        "n_docs_cap": int(_next_pow2(max(n_delta_docs, 1), floor=8)),
+        "max_df": int(
+            _next_pow2(int(df_delta.max()) if df_delta.size else 1, floor=8)
+        ),
+        "base_docs": int(base["docs"]),
+    }
+
+
 class BM25Index:
     """Incremental BM25 index with device-side scoring."""
 
@@ -423,66 +491,30 @@ class BM25Index:
 
         base = self._base
         lo, hi = base["postings"], self._n_postings
-        tid = self._tid[lo:hi]
-        doc = self._doc[lo:hi]
-        tf = self._tf[lo:hi].astype(np.float64)
-
-        order = np.argsort(tid, kind="stable")
-        tid_s, doc_s, tf_s = tid[order], doc[order], tf[order]
-        vsize = len(self.vocab)
-        df_delta = np.bincount(tid_s, minlength=vsize).astype(np.int64)
-        indptr = np.zeros(vsize + 1, dtype=np.int64)
-        np.cumsum(df_delta, out=indptr[1:])
-
-        # Frozen statistics: known terms reuse the base idf; terms first seen
-        # in the delta get an idf from the frozen corpus size + their delta
-        # df (floored at the frozen epsilon like rank_bm25).
-        idf = np.zeros(vsize, dtype=np.float64)
-        n_known = base["idf"].shape[0]
-        idf[:n_known] = base["idf"]
-        new_terms = np.arange(n_known, vsize)
-        if new_terms.size:
-            dfn = np.maximum(df_delta[new_terms], 1)
-            idf_new = np.log(base["docs"] - dfn + 0.5) - np.log(dfn + 0.5)
-            idf[new_terms] = np.where(idf_new < 0, base["eps"], idf_new)
-
-        dl = np.asarray(self.doc_lens, dtype=np.float64)[doc_s] if doc_s.size else np.zeros(0)
-        denom = tf_s + self.k1 * (1.0 - self.b + self.b * dl / base["avgdl"])
-        w_s = idf[tid_s] * tf_s * (self.k1 + 1.0) / np.maximum(denom, 1e-12)
-
-        n_dp = hi - lo
         n_delta_docs = len(self.store) - base["docs"]
-        pcap = _next_pow2(max(n_dp, 1), floor=256)
         # The delta CSR's vocab capacity is independent of the base's:
         # delta-ingested docs can grow the vocabulary past the base pow2
         # capacity (e.g. base vocab exactly at its capacity), so size by
         # whichever is larger — base capacity keeps the shape stable across
         # small deltas, _next_pow2(vsize) guarantees indptr always fits.
-        vcap = max(
-            self._device["indptr"].shape[0] - 1, _next_pow2(vsize, floor=1024)
+        delta = build_delta_csr(
+            self._tid[lo:hi], self._doc[lo:hi], self._tf[lo:hi],
+            self.doc_lens, len(self.vocab), base, self.k1, self.b,
+            n_delta_docs, vcap_min=self._device["indptr"].shape[0] - 1,
         )
-        indptr_p = np.full(vcap + 1, n_dp, dtype=np.int32)
-        indptr_p[: vsize + 1] = indptr.astype(np.int32)
-        post_doc = np.zeros(pcap, dtype=np.int32)
-        post_doc[:n_dp] = (doc_s - base["docs"]).astype(np.int32)  # delta-local
-        post_w = np.zeros(pcap, dtype=np.float32)
-        post_w[:n_dp] = w_s.astype(np.float32)
-
         self._delta_device = {
-            "indptr": jnp.asarray(indptr_p),
-            "post_doc": jnp.asarray(post_doc),
-            "post_w": jnp.asarray(post_w),
-            "n_docs_cap": int(_next_pow2(max(n_delta_docs, 1), floor=8)),
-            "max_df": int(
-                _next_pow2(int(df_delta.max()) if df_delta.size else 1, floor=8)
-            ),
-            "base_docs": base["docs"],
+            "indptr": jnp.asarray(delta["indptr"]),
+            "post_doc": jnp.asarray(delta["post_doc"]),
+            "post_w": jnp.asarray(delta["post_w"]),
+            "n_docs_cap": delta["n_docs_cap"],
+            "max_df": delta["max_df"],
+            "base_docs": delta["base_docs"],
         }
         self._dirty = False
         self.sync_generation += 1
         logger.info(
             "Delta-synced BM25 index: +%d docs (+%d postings) over a %d-doc base",
-            n_delta_docs, n_dp, base["docs"],
+            n_delta_docs, hi - lo, base["docs"],
         )
         return self._device, self._delta_device
 

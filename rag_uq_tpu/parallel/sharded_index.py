@@ -19,7 +19,7 @@ from typing import Dict, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from rag_uq_tpu.core.config import BM25Config, DenseIndexConfig, EmbedderConfig
 from rag_uq_tpu.core.types import Document
@@ -62,6 +62,11 @@ class ShardedHybridIndex:
         self.bm25 = BM25Index(config=bm25_config)
         self._host_emb: list = []
         self._synced: Optional[Dict[str, object]] = None
+        self._dirty = False
+        # Streaming-ingest base snapshot: frozen global stats from the last
+        # full reshard; small deltas are laid out replicated instead of
+        # resharding the whole corpus (bm25.config.delta_sync_fraction).
+        self._base: Optional[Dict[str, object]] = None
         self._searchers: Dict = {}
 
     def __len__(self) -> int:
@@ -83,14 +88,76 @@ class ShardedHybridIndex:
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             self._host_emb.append(vecs / np.maximum(norms, 1e-12))
         self.bm25.add_documents(fresh)
-        self._synced = None
+        self._dirty = True
         return {"added": len(fresh), "total_documents": len(self)}
 
     # -- device layout ----------------------------------------------------------
 
+    def _delta_fraction(self) -> float:
+        if self._base is None or self._base["docs"] == 0:
+            return float("inf")
+        return (len(self) - self._base["docs"]) / self._base["docs"]
+
     def sync(self) -> Dict[str, object]:
-        if self._synced is not None:
+        """(Re)build the device layout; lazy, delta-aware.
+
+        With `bm25.config.delta_sync_fraction > 0` and a small-enough
+        number of docs added since the last full reshard, only a REPLICATED
+        delta is built (dense rows + a delta CSR with the base's frozen
+        idf/avgdl — index/sparse.py::build_delta_csr) and merged into every
+        query by the fused program; the sharded base layout is untouched.
+        Streaming ingest therefore costs O(delta), not O(corpus), per sync
+        (BASELINE.json config 5), with the same bounded-staleness contract
+        as the single-chip main+delta path. A full reshard runs once the
+        fraction is exceeded.
+        """
+        if self._synced is not None and not self._dirty:
             return self._synced
+        frac = self.bm25.config.delta_sync_fraction
+        if (
+            self._synced is not None
+            and frac > 0.0
+            and self._delta_fraction() <= frac
+        ):
+            return self._sync_delta()
+        return self._sync_full()
+
+    def _sync_delta(self) -> Dict[str, object]:
+        from rag_uq_tpu.index.sparse import build_delta_csr
+
+        base = self._base
+        n = len(self)
+        n_delta = n - base["docs"]
+        lo, hi = base["postings"], self.bm25._n_postings
+        delta_csr = build_delta_csr(
+            self.bm25._tid[lo:hi], self.bm25._doc[lo:hi],
+            self.bm25._tf[lo:hi], self.bm25.doc_lens,
+            len(self.bm25.vocab), base, self.bm25.k1, self.bm25.b, n_delta,
+        )
+        dcap = delta_csr["n_docs_cap"]
+        demb = np.zeros((dcap, self.dense_config.embedding_dim), np.float32)
+        stacked = np.concatenate(self._host_emb, axis=0)
+        demb[:n_delta] = stacked[base["docs"] : n]
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        dtype = jnp.dtype(self.dense_config.dtype)
+        self._synced["delta"] = {
+            "emb": jax.device_put(jnp.asarray(demb).astype(dtype), rep),
+            "indptr": jax.device_put(jnp.asarray(delta_csr["indptr"]), rep),
+            "post_doc": jax.device_put(jnp.asarray(delta_csr["post_doc"]), rep),
+            "post_w": jax.device_put(jnp.asarray(delta_csr["post_w"]), rep),
+            "n_docs_cap": dcap,
+            "max_df": delta_csr["max_df"],
+            "base_docs": base["docs"],
+        }
+        self._dirty = False
+        logger.info(
+            "Sharded delta sync: +%d docs replicated over a %d-doc base",
+            n_delta, base["docs"],
+        )
+        return self._synced
+
+    def _sync_full(self) -> Dict[str, object]:
         n = len(self)
         shard_cap = _next_pow2(max(-(-n // self.n_shards), 1), floor=128)
         cap = shard_cap * self.n_shards
@@ -128,6 +195,26 @@ class ShardedHybridIndex:
             "twotier": twotier,
             "max_df": csr["max_df"],
         }
+        # Frozen-stats snapshot for replicated-delta streaming ingest
+        # (mirrors BM25Index._sync_locked's _base).
+        df = np.asarray(csr["df"])
+        idf = np.zeros(df.shape[0], dtype=np.float64)
+        active = df > 0
+        if active.any():
+            idf[active] = np.log(n - df[active] + 0.5) - np.log(df[active] + 0.5)
+            eps = self.bm25.config.idf_epsilon * idf[active].mean()
+            idf[active & (idf < 0)] = eps
+        else:
+            eps = 0.0
+        doc_lens = np.asarray(self.bm25.doc_lens, dtype=np.float64)
+        self._base = {
+            "docs": n,
+            "postings": self.bm25._n_postings,
+            "idf": idf,
+            "eps": float(eps),
+            "avgdl": float(doc_lens.mean()) if n else 1.0,
+        }
+        self._dirty = False
         logger.info(
             "Sharded index synced: %d docs over %d shards (cap %d/shard)",
             n, self.n_shards, shard_cap,
@@ -207,9 +294,13 @@ class ShardedHybridIndex:
 
     def _get_fused(self, state, top_k: int, pool: int, exact: bool,
                    router, sparse_mode: str):
+        delta = state.get("delta")
+        delta_cap = delta["n_docs_cap"] if delta else 0
+        delta_max_df = delta["max_df"] if delta else 0
         router_key = tuple(sorted(vars(router.config).items())) if router else None
         key = ("fused", top_k, pool, exact, router_key, sparse_mode,
-               state["shard_cap"], state["twotier"]["beam"])
+               state["shard_cap"], state["twotier"]["beam"],
+               delta_cap, delta_max_df)
         if key not in self._searchers:
             self._searchers[key] = make_fused_sharded_query(
                 self.mesh,
@@ -223,6 +314,8 @@ class ShardedHybridIndex:
                 sparse_mode=sparse_mode,
                 lsel=self.bm25.config.lsel,
                 nonneg=state["twotier"]["nonneg"],
+                delta_cap=delta_cap,
+                delta_max_df=delta_max_df,
             )
         return self._searchers[key]
 
@@ -249,8 +342,17 @@ class ShardedHybridIndex:
 
         vecs = np.asarray(self.embedder.encode(queries))
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        qtids = jnp.asarray(self.bm25.encode_queries(queries))
+        qtids_raw = self.bm25.encode_queries(queries)
         tt = state["twotier"]
+        delta = state.get("delta")
+        # Terms first seen after the base reshard exist only in the delta
+        # CSR; clamp them out of the base two-tier lookup (its arrays are
+        # sized by the base vocab capacity).
+        base_vcap = tt["term_row"].shape[0]
+        qterms = {"qtids": jnp.asarray(
+            np.where(qtids_raw < base_vcap, qtids_raw, -1)
+        )}
+        base_docs = len(self) if delta is None else delta["base_docs"]
         fused_state = {
             "emb": state["emb"],
             "low_ranges": tt["low_ranges"],
@@ -258,16 +360,29 @@ class ShardedHybridIndex:
             "term_row": tt["term_row"],
             "impact": tt["impact"],
             "impact_scale": tt["impact_scale"],
-            "size": jnp.int32(len(self)),
+            "size": jnp.int32(base_docs),
         }
+        if delta is not None:
+            delta_vcap = delta["indptr"].shape[0] - 1
+            qterms["qtids_full"] = jnp.asarray(
+                np.where(qtids_raw < delta_vcap, qtids_raw, -1)
+            )
+            fused_state.update(
+                delta_emb=delta["emb"],
+                delta_indptr=delta["indptr"],
+                delta_post_doc=delta["post_doc"],
+                delta_post_w=delta["post_w"],
+                delta_size=jnp.int32(len(self) - delta["base_docs"]),
+                delta_base_docs=jnp.int32(delta["base_docs"]),
+            )
         q_vecs = jnp.asarray(vecs).astype(state["emb"].dtype)
         if router is not None:
             vals, pos = fused(
-                fused_state, q_vecs, qtids,
+                fused_state, q_vecs, qterms,
                 {"params": router.params, "stats": router.stats},
             )
         else:
-            vals, pos = fused(fused_state, q_vecs, qtids)
+            vals, pos = fused(fused_state, q_vecs, qterms)
         return np.asarray(vals), np.asarray(pos)
 
     def search_batch_unfused(
@@ -281,9 +396,14 @@ class ShardedHybridIndex:
 
         Kept as the parity reference for `search_batch`: exhaustive
         scatter-add BM25 per shard + exact streaming dense top-k, merged on
-        the host — slower, but with no approximation anywhere.
+        the host — slower, but with no approximation anywhere. Always runs
+        on a FULLY resharded layout (forces the reshard if a live delta is
+        pending), so it is also the fresh-statistics oracle for the
+        delta path's bounded staleness.
         """
         state = self.sync()
+        if "delta" in state:
+            state = self._sync_full()
         pool = min(pool, max(len(self), 1))
         dense_topk, bm25_topk = self._get_searchers(
             pool, state["max_df"], state["cap"]

@@ -273,6 +273,8 @@ def make_fused_sharded_query(
     sparse_recall_target: float = 0.95,
     lsel: int = 4096,
     nonneg: bool = True,
+    delta_cap: int = 0,  # replicated live-ingest delta capacity (0 = none)
+    delta_max_df: int = 0,
 ):
     """ONE-program sharded hybrid query (the multi-chip hot path).
 
@@ -287,7 +289,7 @@ def make_fused_sharded_query(
     (ShardedHybridIndex.search_batch r1) this removes two device round-trips
     and lets XLA overlap the dense matmul with the sparse gather work.
 
-    Returns fn(state, q_vecs, qtids[, router_vars]) -> (scores [B,k],
+    Returns fn(state, q_vecs, qterms[, router_vars]) -> (scores [B,k],
     global positions [B,k]). `state` combines `shard_corpus_matrix` output
     ("emb"), `shard_bm25_twotier` output, and "size" (total docs, int32).
     """
@@ -308,6 +310,19 @@ def make_fused_sharded_query(
         "impact_scale": P(CORPUS_AXIS, None),
         "size": P(),
     }
+    if delta_cap > 0:
+        # Streaming-ingest delta: small and REPLICATED — every chip scores
+        # the recent docs exhaustively (cheap) and merges them into its
+        # pools; only the big base layout is sharded. Mirrors the
+        # single-chip main+delta design (retrieval/fused.py:158-175).
+        state_specs.update(
+            delta_emb=P(None, None),
+            delta_indptr=P(None),
+            delta_post_doc=P(None),
+            delta_post_w=P(None),
+            delta_size=P(),
+            delta_base_docs=P(),
+        )
 
     def _gather_merge_pool(vals, idx, dead_to):
         """all_gather per-shard (score, id) pools, select the global top-pool."""
@@ -324,7 +339,8 @@ def make_fused_sharded_query(
         mi = jnp.where(dead, -1, mi)
         return mv, mi
 
-    def _body(state, q_vecs, qtids, router_vars):
+    def _body(state, q_vecs, qterms, router_vars):
+        qtids = qterms["qtids"]
         i = jax.lax.axis_index(CORPUS_AXIS)
         local_size = jnp.clip(state["size"] - i * shard_cap, 0, shard_cap)
 
@@ -364,6 +380,36 @@ def make_fused_sharded_query(
         dvals, didx = _gather_merge_pool(dvals, didx, 0.0)
         bvals, bidx = _gather_merge_pool(bvals, bidx, 0.0)
 
+        if delta_cap > 0:
+            k_delta = min(pool, delta_cap)
+            # Dense delta: one small replicated matmul + local top-k.
+            dv2, di2 = cosine_topk_single(
+                state["delta_emb"], q_vecs, state["delta_size"], k_delta
+            )
+            di2 = jnp.where(di2 >= 0, di2 + state["delta_base_docs"], -1)
+            dv2 = jnp.where(di2 >= 0, dv2, 0.0)
+            cat_v = jnp.concatenate([dvals, dv2], axis=-1)
+            cat_i = jnp.concatenate([didx, di2], axis=-1)
+            dvals, sel = jax.lax.top_k(cat_v, pool)
+            didx = jnp.take_along_axis(cat_i, sel, axis=-1)
+
+            # Sparse delta: exhaustive scatter-add over the small delta CSR.
+            dscores = bm25_ops.score_all(
+                state["delta_indptr"], state["delta_post_doc"],
+                state["delta_post_w"], qterms["qtids_full"],
+                delta_cap, delta_max_df,
+            )
+            bv2, bi2 = bm25_ops.topk_from_scores(dscores, k_delta)
+            blive2 = (bv2 > 0.0) & (bi2 >= 0)
+            bv2 = jnp.where(blive2, bv2, 0.0)
+            bi2 = jnp.where(blive2, bi2 + state["delta_base_docs"], -1)
+            cat_v = jnp.concatenate([bvals, bv2], axis=-1)
+            cat_i = jnp.concatenate([bidx, bi2], axis=-1)
+            bvals, sel = jax.lax.top_k(cat_v, pool)
+            bidx = jnp.take_along_axis(cat_i, sel, axis=-1)
+            bidx = jnp.where(bvals > 0.0, bidx, -1)
+            bvals = jnp.where(bvals > 0.0, bvals, 0.0)
+
         return fuse_pools_select(
             bvals, bidx, dvals, didx, k,
             router_module=router_module, router_vars=router_vars,
@@ -377,8 +423,8 @@ def make_fused_sharded_query(
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
-        def fused(state, q_vecs, qtids, router_vars):
-            return _body(state, q_vecs, qtids, router_vars)
+        def fused(state, q_vecs, qterms, router_vars):
+            return _body(state, q_vecs, qterms, router_vars)
     else:
         @jax.jit
         @partial(
@@ -387,8 +433,8 @@ def make_fused_sharded_query(
             out_specs=(P(None, None), P(None, None)),
             check_vma=False,
         )
-        def fused(state, q_vecs, qtids):
-            return _body(state, q_vecs, qtids, None)
+        def fused(state, q_vecs, qterms):
+            return _body(state, q_vecs, qterms, None)
 
     return fused
 
