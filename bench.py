@@ -210,11 +210,38 @@ def main() -> None:
     host_qps = 2000 / (time.time() - t0)
     log(f"host query-encode throughput: {host_qps:.0f} q/s")
 
+    # Quality context: the throughput corpus is synthetic (token-id
+    # passages), so retrieval QUALITY is substantiated by the checked-in
+    # measured artifacts rather than the in-bench sanity numbers; quote
+    # them alongside the throughput headline.
+    quality = {
+        "in_bench_source_doc_recall@10": round(float(hit), 3),
+        "in_bench_bm25_fast_vs_exact_agreement": round(float(overlap), 3),
+    }
+    try:
+        with open("runs/encoder/encoder_results.json") as f:
+            enc = json.load(f)
+        quality["semantic_dense_recall@10_trained_encoder"] = enc[
+            "dense_recall@10"]["trained_encoder"]
+    except Exception:
+        pass
+    try:
+        with open("runs/parity/e2e_parity.json") as f:
+            par = json.load(f)
+        h = par["retrieval"]["hybrid"]
+        quality["e2e_hybrid_mrr_ours_vs_reference"] = [
+            round(h["ours_trained_encoder"]["mrr"], 3),
+            round(h["reference"]["mrr"], 3),
+        ]
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "hybrid_qps_per_chip_wiki100k",
         "value": round(qps, 1),
         "unit": "queries/sec",
         "vs_baseline": round(qps / 10_000.0, 4),
+        "quality": quality,
     }))
 
 

@@ -175,16 +175,25 @@ def run_evaluation(
 
     # -- real UQ confidence instead of the reference's length placeholder.
     confidences: List[float] = []
-    for question, context, pred in zip(questions, contexts, predictions):
-        if mc is not None:
-            conf = mc.get_confidence_interval(
-                "Answer the question.", context, question
-            ).confidence
-        elif conformal is not None:
-            conf = conformal.predict_with_coverage(question, context).confidence
-        else:
-            conf = 1.0 - ConformalRAG.estimate_nonconformity(pred, context)
-        confidences.append(conf)
+    if mc is not None:
+        # One B*K-sample device program per chunk instead of B separate
+        # K-sample calls.
+        mc_chunk = max(1, 256 // max(mc.n_samples, 1))
+        for s in range(0, n, mc_chunk):
+            confidences.extend(r.confidence for r in mc.get_confidence_batch(
+                "Answer the question.",
+                contexts[s : s + mc_chunk],
+                questions[s : s + mc_chunk],
+            ))
+    else:
+        for question, context, pred in zip(questions, contexts, predictions):
+            if conformal is not None:
+                conf = conformal.predict_with_coverage(
+                    question, context
+                ).confidence
+            else:
+                conf = 1.0 - ConformalRAG.estimate_nonconformity(pred, context)
+            confidences.append(conf)
 
     latencies = [(retrieval_total + generation_total) / max(n, 1)] * n
     retrieved_ids = [[i for i in row if i] for row in ids]

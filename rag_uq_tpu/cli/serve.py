@@ -289,6 +289,16 @@ def main(argv=None) -> None:
     parser.add_argument("--bm25-path", default="./data/bm25_index.json")
     parser.add_argument("--dense-dir", default="./data/dense_index")
     parser.add_argument("--router-checkpoint", default=None)
+    parser.add_argument(
+        "--encoder-checkpoint", default="models/encoder/encoder.msgpack",
+        help="trained TransformerEmbedder for the dense side (semantic "
+        "retrieval); pass '' to use the configured hash embedder",
+    )
+    parser.add_argument(
+        "--lm-checkpoint", default="models/tiny_lm/tiny_lm.msgpack",
+        help="trained TinyLM for /answer generation; pass '' to return the "
+        "top passage instead of a generated answer",
+    )
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument(
@@ -299,10 +309,25 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
+    import os
+
+    embedder = None
+    if args.encoder_checkpoint and os.path.exists(args.encoder_checkpoint):
+        from rag_uq_tpu.embed.train import load_encoder_checkpoint
+
+        embedder = load_encoder_checkpoint(args.encoder_checkpoint)
+        logger.info("Serving with trained encoder %s", args.encoder_checkpoint)
     retriever = HybridRetriever(
         bm25_persist_path=args.bm25_path,
         dense_persist_directory=args.dense_dir,
+        embedder=embedder,
     )
+    llm = None
+    if args.lm_checkpoint and os.path.exists(args.lm_checkpoint):
+        from rag_uq_tpu.llm.train import load_lm_checkpoint
+
+        llm = load_lm_checkpoint(args.lm_checkpoint)
+        logger.info("Serving with trained TinyLM %s", args.lm_checkpoint)
     router = None
     if args.router_checkpoint:
         from rag_uq_tpu.router.train import RouterTrainer
@@ -311,7 +336,8 @@ def main(argv=None) -> None:
         RouterTrainer(router).load_checkpoint(args.router_checkpoint)
     service = QueryService(retriever, router=router,
                            sparse_mode=args.sparse_mode)
-    serve_http(service, host=args.host, port=args.port).serve_forever()
+    serve_http(service, llm=llm, host=args.host,
+               port=args.port).serve_forever()
 
 
 if __name__ == "__main__":

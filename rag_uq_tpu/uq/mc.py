@@ -97,6 +97,77 @@ class MCDropoutConfidence:
         distances = np.linalg.norm(embeddings - centroid, axis=1)
         return float(distances.std()), centroid, embeddings
 
+    def get_confidence_batch(
+        self,
+        prompt: str,
+        contexts: Sequence[str],
+        questions: Sequence[str],
+    ) -> List["ConfidenceResult"]:
+        """MC confidence for a WHOLE example batch in one device program.
+
+        All B examples' K samples go through a single `generate_batch` of
+        B*K prompts (grouped per example), versus B separate K-sample
+        calls — the per-program dispatch floor dominates at evaluation
+        scale on this platform. Per-example math is identical to
+        `get_confidence_interval`.
+        """
+        n = len(questions)
+        if n == 0:
+            return []
+        prompts, temps, tops = [], [], []
+        for ctx, q in zip(contexts, questions):
+            full = self.build_prompt(prompt, ctx, q)
+            for _ in range(self.n_samples):
+                p = self._sample_parameters()
+                prompts.append(full)
+                temps.append(p["temperature"])
+                tops.append(p["top_p"])
+        raw = self.llm.generate_batch(
+            prompts, temps, tops, max_tokens=self.max_tokens,
+            seed=int(self._rng.integers(0, 2**31 - 1)),
+        )
+        results = []
+        for i in range(n):
+            answers = [
+                a.strip()
+                for a in raw[i * self.n_samples : (i + 1) * self.n_samples]
+                if a and a.strip()
+            ]
+            results.append(self._result_from_answers(answers))
+        return results
+
+    def _result_from_answers(self, answers: List[str]) -> "ConfidenceResult":
+        """Shared scoring tail: answers -> ConfidenceResult."""
+        if not answers:
+            return ConfidenceResult(
+                answers=[],
+                consensus_answer="",
+                uncertainty_score=1.0,
+                confidence=0.0,
+                metadata={"error": "No valid answers generated"},
+            )
+        lexical_diversity = self._compute_lexical_diversity(answers)
+        variance, centroid, embeddings = self._compute_embedding_variance(answers)
+        if len(embeddings) > 0:
+            distances = np.linalg.norm(embeddings - centroid, axis=1)
+            consensus = answers[int(np.argmin(distances))]
+        else:
+            consensus = Counter(answers).most_common(1)[0][0]
+        normalized_uncertainty = min(1.0, variance / 2.0)  # heuristic (parity :258)
+        return ConfidenceResult(
+            answers=answers,
+            consensus_answer=consensus,
+            uncertainty_score=normalized_uncertainty,
+            confidence=1.0 - normalized_uncertainty,
+            embedding_variance=variance,
+            lexical_diversity=lexical_diversity,
+            metadata={
+                "n_samples": len(answers),
+                "temperature_range": self.temperature_range,
+                "top_p_range": self.top_p_range,
+            },
+        )
+
     def get_confidence_interval(
         self,
         prompt: str,
@@ -115,36 +186,4 @@ class MCDropoutConfidence:
             seed=int(self._rng.integers(0, 2**31 - 1)),
         )
         answers = [a.strip() for a in raw if a and a.strip()]
-
-        if not answers:
-            return ConfidenceResult(
-                answers=[],
-                consensus_answer="",
-                uncertainty_score=1.0,
-                confidence=0.0,
-                metadata={"error": "No valid answers generated"},
-            )
-
-        lexical_diversity = self._compute_lexical_diversity(answers)
-        variance, centroid, embeddings = self._compute_embedding_variance(answers)
-
-        if len(embeddings) > 0:
-            distances = np.linalg.norm(embeddings - centroid, axis=1)
-            consensus = answers[int(np.argmin(distances))]
-        else:
-            consensus = Counter(answers).most_common(1)[0][0]
-
-        normalized_uncertainty = min(1.0, variance / 2.0)  # heuristic (parity :258)
-        return ConfidenceResult(
-            answers=answers,
-            consensus_answer=consensus,
-            uncertainty_score=normalized_uncertainty,
-            confidence=1.0 - normalized_uncertainty,
-            embedding_variance=variance,
-            lexical_diversity=lexical_diversity,
-            metadata={
-                "n_samples": len(answers),
-                "temperature_range": self.temperature_range,
-                "top_p_range": self.top_p_range,
-            },
-        )
+        return self._result_from_answers(answers)

@@ -152,6 +152,32 @@ class TestConformal:
         assert coverage >= 0.9 - 0.02
 
 
+class TestMCBatch:
+    def test_batch_matches_per_example_semantics(self):
+        class EchoLLM:
+            def generate_batch(self, prompts, t, p, max_tokens=100, seed=None):
+                return [f"ans {pr.count('Question')}" for pr in prompts]
+
+        mc = MCDropoutConfidence(EchoLLM(), n_samples=4, seed=0)
+        qs = ["q1?", "q2?", "q3?"]
+        ctxs = ["c1", "c2", "c3"]
+        batch = mc.get_confidence_batch("Answer.", ctxs, qs)
+        assert len(batch) == 3
+        singles = [
+            MCDropoutConfidence(EchoLLM(), n_samples=4, seed=0)
+            .get_confidence_interval("Answer.", c, q)
+            for c, q in zip(ctxs, qs)
+        ]
+        for b, s in zip(batch, singles):
+            assert b.consensus_answer == s.consensus_answer
+            assert b.confidence == pytest.approx(s.confidence)
+            assert b.uncertainty_score == pytest.approx(s.uncertainty_score)
+
+    def test_batch_empty(self):
+        mc = MCDropoutConfidence(MockLLM(), n_samples=3)
+        assert mc.get_confidence_batch("Answer.", [], []) == []
+
+
 class _LatentDifficultyLLM:
     """Deterministic fake: per-prompt latent difficulty controls how
     diverse the K sampled answers are. Same prompt -> same behavior, so
