@@ -9,14 +9,23 @@ exists in HBM and no separate top-k pass re-reads it.
 Merge design (round 2; round 1's K-pass extraction ran k sequential
 max-extract passes per improving block and was outrun by approx_max_k):
 the running top-K is kept SORTED descending, and each block's candidates
-are folded in with an INSERTION loop — a `lax.while_loop` that, per
-iteration, takes every query's best remaining block score, computes its
-rank in the running top-K with one [B, k] comparison, and shift-inserts it
-with two lane-select passes. Iterations are data-dependent: exactly the
-number of block candidates that actually enter some query's top-K (for a
-random stream, E[entries/query/block] = k·ln(n)/n_blocks ≈ 3 at the bench
-shape — versus the unconditional k = 50 passes of the old merge). A cheap
-per-block threshold predicate still skips blocks with no candidate at all.
+are folded in with a FAN-WAY INSERTION loop — a `lax.while_loop` that, per
+iteration, extracts every query's top-`fan` remaining block scores and
+rank-inserts all of them at once via closed-form merged positions
+(pos_j = #{rv >= mx_j} + j) realized with static shifts + lane selects.
+Iterations are data-dependent — ceil(candidates-that-enter / fan) — and
+the serial iteration count, not the per-pass VPU width, is what the
+while_loop's overhead charges for (measured: column-sub-chunking the
+passes made it SLOWER; fan=4 beat fan=1 by 1.2×). The mutable candidate
+pool lives in a VMEM scratch rather than the loop carry (carrying a
+[bq, block] f32 costs a double-buffered copy per iteration; scratch took
+7.3 ms -> 5.4 ms). A cheap per-block threshold predicate still skips
+blocks with no candidate at all.
+
+Measured at [B=1024, cap=131k, D=768, k=50] bf16 on a v5e chip:
+5.4 ms vs 30.8 ms for the exact XLA matmul+`lax.top_k` (5.7x, bit
+-identical) and 2.4 ms for `approx_max_k` at recall 0.977 — the exact
+point on the speed/recall Pareto frontier (see docs/kernels.md).
 
 Exactness: results are identical (values, indices, tie-breaks) to
 `jax.lax.top_k` over the full matmul — the XLA oracle in ops/topk.py — and
@@ -40,7 +49,8 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = float("-inf")
 
 
-def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref, run_vals, run_idx):
+def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref, run_vals, run_idx,
+            s_ref, *, fan):
     i = pl.program_id(1)  # corpus-block index (innermost)
     n_blocks = pl.num_programs(1)
     bsz, k = run_vals.shape
@@ -71,43 +81,69 @@ def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref, run_vals, run_idx):
 
     @pl.when(any_candidate)
     def _():
+        # The mutable candidate pool lives in VMEM scratch, NOT in the
+        # while_loop carry: a [bq, block] f32 carry would be copied (and
+        # double-buffered by Mosaic) every iteration.
+        s_ref[:] = scores
+
         def cond(state):
-            s, it = state
-            return jnp.logical_and(
-                jnp.any(s > run_vals[:, k - 1][:, None]), it < block_n
-            )
+            go, it = state
+            return jnp.logical_and(go, it < block_n)
 
         def body(state):
-            s, it = state
+            _, it = state
+            s = s_ref[:]
             rv = run_vals[:]
             ri = run_idx[:]
-            # Every query's best remaining block score; first-max column
-            # (lowest row index wins ties, matching lax.top_k order).
-            mx = jnp.max(s, axis=1)
-            amx = jnp.min(jnp.where(s == mx[:, None], col, big), axis=1)
-            chosen = col == amx[:, None]
-            cidx = base + amx  # global row index of the candidate
-            s = jnp.where(chosen, _NEG_INF, s)
+            # Extract every query's top-`fan` remaining block scores,
+            # descending; first-max column on ties (lowest row index wins,
+            # matching lax.top_k order).
+            mxs, cidxs = [], []
+            for _ in range(fan):
+                mx = jnp.max(s, axis=1)
+                amx = jnp.min(jnp.where(s == mx[:, None], col, big), axis=1)
+                s = jnp.where(col == amx[:, None], _NEG_INF, s)
+                mxs.append(mx)
+                cidxs.append(base + amx)
 
-            improve = mx > rv[:, k - 1]
-            # Rank = #entries >= the candidate: equal-valued entries were
-            # inserted earlier from lower row indices (ascending block
-            # stream + lowest-column-first extraction), so the candidate
-            # goes AFTER them — matching lax.top_k's lowest-index tie order.
-            rank = jnp.sum((rv >= mx[:, None]).astype(jnp.int32), axis=1)
-            # Shift-right by one lane (static slices; column 0 of the
-            # shifted arrays is never selected — rank 0 takes `at`).
-            shifted_v = jnp.concatenate([rv[:, :1], rv[:, :-1]], axis=1)
-            shifted_i = jnp.concatenate([ri[:, :1], ri[:, :-1]], axis=1)
-            at = out_col == rank[:, None]
-            after = out_col > rank[:, None]
-            new_v = jnp.where(at, mx[:, None], jnp.where(after, shifted_v, rv))
-            new_i = jnp.where(at, cidx[:, None], jnp.where(after, shifted_i, ri))
-            run_vals[:] = jnp.where(improve[:, None], new_v, rv)
-            run_idx[:] = jnp.where(improve[:, None], new_i, ri)
-            return s, it + 1
+            # Merged position of candidate j among (rv ∪ mxs): the count of
+            # rv entries >= it, plus one for each earlier (>=-valued)
+            # candidate. `>=` puts equal-valued rv entries (inserted earlier
+            # from lower row indices in the ascending block stream) BEFORE
+            # the candidate — matching lax.top_k's lowest-index tie order;
+            # equal candidates keep extraction (ascending-column) order via
+            # the +j term. pos_j >= k means "does not enter" and every
+            # select below self-guards on that, so no improve mask is
+            # needed — non-entering iterations are identity updates.
+            poss = [
+                jnp.sum((rv >= mx[:, None]).astype(jnp.int32), axis=1) + j
+                for j, mx in enumerate(mxs)
+            ]
+            # Lane p of the merged top-K holds rv[p - m(p)] where m(p) is
+            # the number of candidates landing strictly before p; realize
+            # the gather as selects over the static right-shifts of rv.
+            m = poss[0][:, None] < out_col
+            shift = (m.astype(jnp.int32))
+            for pos in poss[1:]:
+                shift = shift + (pos[:, None] < out_col).astype(jnp.int32)
+            new_v, new_i = rv, ri
+            for c in range(1, fan + 1):
+                sh_v = jnp.concatenate([rv[:, :c], rv[:, :-c]], axis=1)
+                sh_i = jnp.concatenate([ri[:, :c], ri[:, :-c]], axis=1)
+                sel = shift == c
+                new_v = jnp.where(sel, sh_v, new_v)
+                new_i = jnp.where(sel, sh_i, new_i)
+            for mx, cidx, pos in zip(mxs, cidxs, poss):
+                at = out_col == pos[:, None]
+                new_v = jnp.where(at, mx[:, None], new_v)
+                new_i = jnp.where(at, cidx[:, None], new_i)
+            run_vals[:] = new_v
+            run_idx[:] = new_i
+            s_ref[:] = s
+            go = jnp.any(s > new_v[:, k - 1][:, None])
+            return go, it + 1
 
-        jax.lax.while_loop(cond, body, (scores, jnp.int32(0)))
+        jax.lax.while_loop(cond, body, (jnp.bool_(True), jnp.int32(0)))
 
     @pl.when(i == n_blocks - 1)
     def _():
@@ -116,7 +152,8 @@ def _kernel(size_ref, q_ref, emb_ref, vals_ref, idx_ref, run_vals, run_idx):
         idx_ref[:] = jnp.where(rv == _NEG_INF, -1, run_idx[:])
 
 
-@partial(jax.jit, static_argnames=("k", "block", "q_block", "interpret"))
+@partial(jax.jit,
+         static_argnames=("k", "block", "q_block", "fan", "interpret"))
 def pallas_cosine_topk(
     emb: jax.Array,  # [cap, D], L2-normalized rows (any float dtype)
     queries: jax.Array,  # [B, D]
@@ -124,6 +161,7 @@ def pallas_cosine_topk(
     k: int,
     block: int = 1024,
     q_block: int = 256,
+    fan: int = 4,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact top-k cosine scores/indices; contract matches ops.topk.cosine_topk.
@@ -144,8 +182,10 @@ def pallas_cosine_topk(
     q = queries.astype(emb.dtype)
     size_arr = jnp.asarray(size, dtype=jnp.int32).reshape(1, 1)
 
+    if fan < 1 or fan > k:
+        raise ValueError(f"fan {fan} must be in [1, k={k}]")
     vals, idx = pl.pallas_call(
-        _kernel,
+        partial(_kernel, fan=fan),
         grid=(nq, n_blocks),
         in_specs=[
             pl.BlockSpec((1, 1), lambda iq, i: (0, 0), memory_space=pltpu.SMEM),
@@ -163,6 +203,7 @@ def pallas_cosine_topk(
         scratch_shapes=[
             pltpu.VMEM((bq, k), jnp.float32),
             pltpu.VMEM((bq, k), jnp.int32),
+            pltpu.VMEM((bq, block), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * bsz * cap * dim,

@@ -18,14 +18,29 @@ def _mk(rng, cap, dim, bsz):
 
 
 class TestPallasCosineTopK:
-    def test_matches_oracle(self, rng):
+    @pytest.mark.parametrize("fan", [1, 2, 3, 4, 8])
+    def test_matches_oracle(self, rng, fan):
         emb, q = _mk(rng, cap=512, dim=32, bsz=6)
         size = 450
         pv, pi = pallas_cosine_topk(emb, q, jnp.int32(size), k=8, block=128,
-                                    interpret=True)
+                                    fan=fan, interpret=True)
         ov, oi = cosine_topk(emb, q, jnp.int32(size), 8, block=128)
         np.testing.assert_array_equal(np.asarray(pi), np.asarray(oi))
         np.testing.assert_allclose(np.asarray(pv), np.asarray(ov), rtol=1e-5)
+
+    @pytest.mark.parametrize("fan", [2, 4])
+    def test_ties_deterministic_fan(self, fan):
+        # Duplicate rows force score ties ACROSS candidates extracted in
+        # the same iteration; lowest index must still win, as in lax.top_k.
+        emb = np.tile(np.eye(4, dtype=np.float32), (8, 1))
+        q = np.eye(4, dtype=np.float32)[:2]
+        pv, pi = pallas_cosine_topk(
+            jnp.asarray(emb), jnp.asarray(q), jnp.int32(32), k=6, block=16,
+            fan=fan, interpret=True,
+        )
+        ov, oi = cosine_topk(jnp.asarray(emb), jnp.asarray(q), jnp.int32(32),
+                             6, block=16)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(oi))
 
     def test_fewer_live_rows_than_k(self, rng):
         emb, q = _mk(rng, cap=256, dim=16, bsz=3)
