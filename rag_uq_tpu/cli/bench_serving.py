@@ -1,0 +1,152 @@
+"""Serving-layer benchmark: closed-loop clients against QueryService.
+
+Measures what `cli/serve.py` actually delivers — tail latency and
+throughput through the micro-batching worker — as opposed to `bench.py`,
+which times the raw fused device program. The reference has no serving
+layer at all (its deployment is docker-compose around Ollama/ChromaDB,
+reference docker-compose.yml:24-56), so these numbers are recorded as
+framework capability, not parity.
+
+Protocol: build a synthetic corpus at --n-docs, start a QueryService
+(scatter-mode BM25 pool, the serving default), then run closed-loop client
+threads for --seconds at each --concurrency level: every client submits
+one random single-query search (k=10) and blocks for its result. Reported
+per level: achieved QPS, latency p50/p95/p99, and the mean device batch
+size the micro-batcher formed.
+
+Writes one JSON artifact (default runs/serving_bench.json) and prints it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import threading
+import time
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _build_corpus(n_docs: int, seed: int = 0):
+    """Synthetic token-id passages (same shape trick as bench.py)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(30_000)]
+    probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.07
+    probs /= probs.sum()
+    docs = []
+    for d in range(n_docs):
+        n_tok = int(rng.integers(40, 120))
+        toks = rng.choice(len(vocab), size=n_tok, p=probs)
+        docs.append(
+            {"id": f"doc{d}", "text": " ".join(vocab[t] for t in toks)}
+        )
+    return docs
+
+
+def _percentiles(lat_ms: List[float]):
+    a = np.asarray(lat_ms)
+    return {
+        "p50_ms": round(float(np.percentile(a, 50)), 2),
+        "p95_ms": round(float(np.percentile(a, 95)), 2),
+        "p99_ms": round(float(np.percentile(a, 99)), 2),
+        "mean_ms": round(float(a.mean()), 2),
+    }
+
+
+def run_level(service, queries: List[str], concurrency: int,
+              seconds: float, seed: int = 0):
+    """Closed-loop clients; returns latency/QPS stats for one level."""
+    stop = time.time() + seconds
+    lats: List[List[float]] = [[] for _ in range(concurrency)]
+    errors = [0] * concurrency
+
+    def client(ci: int):
+        rng = np.random.default_rng(seed + ci)
+        while time.time() < stop:
+            q = queries[int(rng.integers(0, len(queries)))]
+            t0 = time.time()
+            try:
+                service.search([q], k=10)
+            except Exception:
+                errors[ci] += 1
+                continue
+            lats[ci].append((time.time() - t0) * 1000.0)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(concurrency)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.time() - t0
+    flat = [x for row in lats for x in row]
+    return {
+        "concurrency": concurrency,
+        "requests": len(flat),
+        "errors": sum(errors),
+        "qps": round(len(flat) / wall, 1),
+        **_percentiles(flat),
+    }
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--n-docs", type=int, default=20_000)
+    parser.add_argument("--seconds", type=float, default=15.0)
+    parser.add_argument("--concurrency", type=int, nargs="+",
+                        default=[1, 8, 32, 128])
+    parser.add_argument("--out", default="runs/serving_bench.json")
+    parser.add_argument("--tick-ms", type=float, default=2.0)
+    args = parser.parse_args(argv)
+    logging.basicConfig(level=logging.INFO)
+
+    from rag_uq_tpu.cli.serve import QueryService
+    from rag_uq_tpu.retrieval.hybrid import HybridRetriever
+
+    t0 = time.time()
+    docs = _build_corpus(args.n_docs)
+    retriever = HybridRetriever()
+    retriever.add_documents(docs)
+    build_s = time.time() - t0
+    logger.info("indexed %d docs in %.1fs", args.n_docs, build_s)
+
+    # Queries: random 5-term samples from real documents, so the BM25 side
+    # has matching postings.
+    rng = np.random.default_rng(1)
+    queries = []
+    for _ in range(2048):
+        toks = docs[int(rng.integers(0, len(docs)))]["text"].split()
+        s = int(rng.integers(0, max(1, len(toks) - 5)))
+        queries.append(" ".join(toks[s:s + 5]))
+
+    service = QueryService(retriever, tick_ms=args.tick_ms)
+    try:
+        service.search(queries[:8], k=10)  # compile warmup
+        levels = [
+            run_level(service, queries, c, args.seconds)
+            for c in args.concurrency
+        ]
+    finally:
+        service.close()
+
+    result = {
+        "n_docs": args.n_docs,
+        "index_build_seconds": round(build_s, 1),
+        "tick_ms": args.tick_ms,
+        "seconds_per_level": args.seconds,
+        "levels": levels,
+    }
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -171,7 +171,15 @@ def run_pipeline(
                     lm_trainer.params, f.read()
                 )
         else:
+            # scales["lm_model"] overrides the scratch model dims (tests
+            # use a tiny decoder — the default 4x256 model is too slow to
+            # train AND sample from on a 1-core CPU host).
+            model_cfg = (
+                TinyLMConfig(**scales["lm_model"])
+                if "lm_model" in scales else None
+            )
             lm_trainer = TinyLMTrainer(
+                model_cfg,
                 config=LMTrainConfig(
                     seq_len=scales.get("lm_seq_len", 768),
                     batch_size=scales.get("lm_batch", 32),

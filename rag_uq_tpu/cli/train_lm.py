@@ -51,11 +51,31 @@ def multi_world_qa(
 
 
 def eval_extraction(
-    lm, test_samples: Sequence[Dict], max_tokens: int = 40, batch: int = 25
+    lm, test_samples: Sequence[Dict], max_tokens: int = 40, batch: int = 25,
+    distractor_texts: Optional[Sequence[str]] = None, n_distractors: int = 2,
+    seed: int = 11,
 ) -> Dict[str, float]:
-    """EM + answer-substring rate with gold-only contexts on unseen data."""
+    """EM + answer-substring rate on unseen data.
+
+    Default: gold-only contexts. With `distractor_texts`, each context is
+    the gold passage shuffled among `n_distractors` random passages — the
+    distribution the model actually sees at evaluation time (top-3
+    retrieved passages), and the number that predicts pipeline EM.
+    """
+    rng = np.random.default_rng(seed)
+
+    def ctx(s):
+        if not distractor_texts:
+            return s["context"]
+        parts = [s["context"]] + [
+            distractor_texts[int(rng.integers(len(distractor_texts)))]
+            for _ in range(n_distractors)
+        ]
+        rng.shuffle(parts)
+        return " ".join(parts)
+
     prompts = [
-        build_qa_prompt(s["question"], s["context"], QA_HEADERS[0])
+        build_qa_prompt(s["question"], ctx(s), QA_HEADERS[0])
         for s in test_samples
     ]
     outs = []
@@ -88,6 +108,7 @@ def train_extractor(
     learning_rate: float = 5e-4,
     seed: int = 0,
     eval_n: int = 200,
+    init_from: Optional[str] = None,
 ) -> Dict:
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -120,6 +141,14 @@ def train_extractor(
     logger.info("Encoded %d QA rows of %d bytes", data.shape[0], seq_len)
     state_path = str(out / "train_state.msgpack")
     start = trainer.restore_state(state_path)
+    if start == 0 and init_from and Path(init_from).exists():
+        # Warm start (continued pretraining at a new seq_len/schedule):
+        # params only — the optimizer state and LR schedule start fresh.
+        from flax import serialization
+
+        with open(init_from, "rb") as f:
+            trainer.params = serialization.from_bytes(trainer.params, f.read())
+        logger.info("Warm-started params from %s", init_from)
     t0 = time.time()
     for step in range(start, steps):
         rng = np.random.default_rng((seed << 20) + step)
@@ -138,7 +167,12 @@ def train_extractor(
 
     test_world = generate_world(max(eval_n, 100), seed=0)
     lm = trainer.export_sampler()
-    metrics = eval_extraction(lm, test_world.qa_rows()[:eval_n])
+    test_rows = test_world.qa_rows()[:eval_n]
+    metrics = eval_extraction(lm, test_rows)
+    metrics_distract = eval_extraction(
+        lm, test_rows,
+        distractor_texts=[r["text"] for r in test_world.corpus_rows()],
+    )
 
     ckpt = str(out / "tiny_lm.msgpack")
     trainer.save_checkpoint(ckpt)
@@ -149,6 +183,7 @@ def train_extractor(
         "final_loss": float(np.mean(losses[-50:])),
         "train_seconds": round(train_secs, 1),
         "unseen_world_eval": metrics,
+        "unseen_world_eval_distractors": metrics_distract,
         "checkpoint": ckpt,
         "model_config": vars(model_cfg),
     }
@@ -168,13 +203,21 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--dim", type=int, default=384)
     parser.add_argument("--layers", type=int, default=6)
     parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--seq-len", type=int, default=512)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument(
+        "--init-from", default=None,
+        help="warm-start params from an existing tiny_lm.msgpack "
+        "(continued pretraining, e.g. at a longer --seq-len)",
+    )
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(train_extractor(
         output_dir=args.output_dir, n_worlds=args.worlds,
         articles_per_world=args.articles_per_world, steps=args.steps,
         batch_size=args.batch_size, dim=args.dim, num_layers=args.layers,
-        learning_rate=args.lr,
+        learning_rate=args.lr, seq_len=args.seq_len, seed=args.seed,
+        init_from=args.init_from,
     ), indent=2))
 
 

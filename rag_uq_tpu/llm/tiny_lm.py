@@ -183,7 +183,19 @@ class TinyLM:
     def _encode_prompts(self, prompts: Sequence[str]):
         cfg = self.config
         max_bytes = cfg.max_prompt_len - 1
-        encoded = [list(p.encode("utf-8")[-max_bytes:]) for p in prompts]
+        # Over-long prompts keep head + tail (1/4 + 3/4), matching the
+        # middle-left trim the QA trainer applies (llm/train.py
+        # encode_qa_examples) — tail-only truncation would drop the START
+        # of the context, which is where the top-ranked (usually gold)
+        # retrieved passage sits at evaluation time.
+        keep_tail = max_bytes * 3 // 4
+        keep_head = max_bytes - keep_tail
+        encoded = []
+        for p in prompts:
+            raw = p.encode("utf-8")
+            if len(raw) > max_bytes:
+                raw = raw[:keep_head] + raw[-keep_tail:]
+            encoded.append(list(raw))
         # Bucket the padded prompt width to the next power of two (floor 32)
         # so the sampler program retraces per bucket, not per byte-length.
         longest = max(len(e) for e in encoded) + 1

@@ -181,9 +181,18 @@ class TestPipeline:
         # real-scale run lives in runs/demo_quick (TPU).
         from rag_uq_tpu.cli.run_pipeline import run_pipeline
 
+        # lm_checkpoint points nowhere so the pipeline takes the
+        # from-scratch branch with a TINY decoder: fine-tuning AND
+        # sampling the real 6x384 pretrained model on the 1-core CPU test
+        # host once put this single test at ~26 min of the suite's wall
+        # clock.
         scales = {"articles": 40, "nq": 70, "cal": 10, "test": 5,
                   "epochs": 2, "lm_steps": 5, "enc_steps": 5,
-                  "lm_seq_len": 256, "lm_batch": 8}
+                  "lm_seq_len": 256, "lm_batch": 8, "lm_ft_steps": 5,
+                  "lm_checkpoint": str(tmp_path / "absent.msgpack"),
+                  "lm_model": {"dim": 64, "num_layers": 2, "num_heads": 4,
+                               "mlp_dim": 128, "max_prompt_len": 512,
+                               "max_total_len": 640}}
         summary = run_pipeline(
             workdir=str(tmp_path / "pipe"), scales=scales, seed=0
         )
@@ -414,3 +423,25 @@ class TestIngestEndpoint:
         finally:
             server.shutdown()
             service.close()
+
+
+class TestBenchServing:
+    def test_run_level_smoke(self, corpus_path, tmp_path):
+        from rag_uq_tpu.cli.bench_serving import run_level
+
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever, max_batch=8, tick_ms=1.0)
+        try:
+            stats = run_level(
+                service, ["topic1 number 2", "topic3 number 8"],
+                concurrency=2, seconds=1.0,
+            )
+        finally:
+            service.close()
+        assert stats["errors"] == 0
+        assert stats["requests"] > 0
+        assert stats["qps"] > 0
+        assert stats["p50_ms"] <= stats["p99_ms"]

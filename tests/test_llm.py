@@ -82,6 +82,22 @@ class TestTinyLM:
         out = lm.generate(long_prompt, max_tokens=4, seed=0)
         assert isinstance(out, str)  # no crash; prompt clipped to max_prompt_len
 
+    def test_long_prompt_keeps_head_and_tail(self, lm):
+        # Over-budget prompts must keep the START (where the top-ranked
+        # retrieved passage sits) as well as the question tail — the same
+        # 1/4 head + 3/4 tail trim the QA trainer applies.
+        max_bytes = lm.config.max_prompt_len - 1  # 31 with the test CFG
+        keep_tail = max_bytes * 3 // 4
+        keep_head = max_bytes - keep_tail
+        head = "H" * keep_head
+        tail = "T" * keep_tail
+        prompt = head + "m" * (2 * max_bytes) + tail
+        batch, lens, plen = lm._encode_prompts([prompt])
+        kept = bytes(int(b) for b in batch[0, 1:lens[0]]).decode()
+        assert kept.startswith(head)
+        assert kept.endswith(tail)
+        assert lens[0] == max_bytes + 1  # BOS + exactly the byte budget
+
     def test_decode_stops_at_eos(self):
         toks = np.array([104, 105, EOS, 106, 107])
         assert TinyLM._decode(toks) == "hi"

@@ -237,19 +237,21 @@ class TestMCVarianceNonconformity:
             words = [f"tok{int(rng.integers(0, 1000))}" for _ in range(6)]
             return f"question about {words[0]} {i}", " ".join(words)
 
-        cal = [example(i) for i in range(150)]
+        cal = [example(i) for i in range(60)]
         conf.calibrate([q for q, _ in cal], [c for _, c in cal],
                        ["x"] * len(cal))
-        assert len(conf.calibration_scores) == 150
+        assert len(conf.calibration_scores) == 60
 
-        test = [example(1000 + i) for i in range(300)]
+        test = [example(1000 + i) for i in range(150)]
         reliable = [
             conf.predict_with_coverage(q, c).is_reliable for q, c in test
         ]
         coverage = float(np.mean(reliable))
-        # Exact finite-sample rate: 1 - floor(alpha*(n+1))/(n+1) = 0.9007;
-        # allow ~3 binomial standard deviations at n_test=300.
-        assert 0.84 <= coverage <= 0.97
+        # Exact finite-sample rate: 1 - floor(alpha*(n+1))/(n+1) = 0.9016
+        # at n_cal=60; allow ~3 binomial standard deviations at n_test=150
+        # (sd ~ 0.024). Sizes are capped because each predict is a separate
+        # device program on the CPU test host (~0.3 s apiece).
+        assert 0.82 <= coverage <= 0.975
 
 
 class TestHybridConfidence:
