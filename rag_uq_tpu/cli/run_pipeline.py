@@ -134,12 +134,16 @@ def run_pipeline(
     timings["index_build_s"] = round(time.time() - t0, 1)
 
     # Step 3.5: TinyLM generator (the framework's own llama3.2; VERDICT r1
-    # missing #3). Preferred path: start from the pretrained EXTRACTOR
-    # checkpoint (cli/train_lm.py — copy-from-context learned on a large
-    # multi-world QA stream where memorization is impossible) and lightly
-    # fine-tune on this pipeline's train slice; fallback: train from
-    # scratch on the pipeline QAs alone (memorizes train answers, near-zero
-    # held-out EM — the round-1 failure mode).
+    # missing #3). Preferred path: the pretrained EXTRACTOR checkpoint
+    # (cli/train_lm.py — copy-from-context learned on a large multi-world
+    # QA stream where memorization is impossible), used ZERO-SHOT by
+    # default: measured on the quick pipeline, 300 fine-tune steps on the
+    # local 1350-QA slice DEGRADE held-out EM (0.34 vs 0.46 zero-shot) by
+    # drifting the general selection ability toward the small corpus. Set
+    # scales["lm_ft_steps"] > 0 to opt into fine-tuning (real domain
+    # shift); fallback with no checkpoint: train from scratch on the
+    # pipeline QAs alone (memorizes train answers, near-zero held-out EM —
+    # the round-1 failure mode).
     lm_info = {"trained": False, "llm": type(llm).__name__ if llm else None}
     lm_ckpt = scales.get("lm_checkpoint", "models/tiny_lm/tiny_lm.msgpack")
     if llm is None and train_lm and fit_samples:
@@ -154,13 +158,15 @@ def run_pipeline(
             with open(str(lm_ckpt) + ".json") as f:
                 ckpt_meta = json.load(f)
             model_cfg = TinyLMConfig(**ckpt_meta["model_config"])
-            ft_steps = scales.get("lm_ft_steps", max(scales["lm_steps"] // 5, 200))
+            ft_steps = scales.get("lm_ft_steps", 0)
             lm_trainer = TinyLMTrainer(
                 model_cfg,
                 LMTrainConfig(
-                    seq_len=scales.get("lm_seq_len", 768),
+                    seq_len=scales.get(
+                        "lm_seq_len", ckpt_meta["model_config"]["max_prompt_len"]
+                    ),
                     batch_size=scales.get("lm_batch", 32),
-                    total_steps=ft_steps,
+                    total_steps=max(ft_steps, 1),
                     warmup_steps=min(50, max(ft_steps // 10, 1)),
                     learning_rate=1e-4,
                     seed=seed,
@@ -188,20 +194,23 @@ def run_pipeline(
                     seed=seed,
                 ),
             )
-        lm_losses = lm_trainer.fit_qa(
-            fit_samples,
-            distractor_texts=[
-                retriever.documents.texts[i]
-                for i in range(len(retriever.documents))
-            ],
-        )
+        if pretrained and scales.get("lm_ft_steps", 0) == 0:
+            lm_losses = []  # zero-shot: the pretrained extractor as-is
+        else:
+            lm_losses = lm_trainer.fit_qa(
+                fit_samples,
+                distractor_texts=[
+                    retriever.documents.texts[i]
+                    for i in range(len(retriever.documents))
+                ],
+            )
         llm = lm_trainer.export_sampler(seed=seed)
         lm_info = {
             "trained": True,
             "pretrained_checkpoint": lm_ckpt if pretrained else None,
             "steps": len(lm_losses),
-            "first_loss": lm_losses[0],
-            "final_loss": lm_losses[-1],
+            "first_loss": lm_losses[0] if lm_losses else None,
+            "final_loss": lm_losses[-1] if lm_losses else None,
         }
         timings["lm_train_s"] = round(time.time() - t0, 1)
     elif llm is None:

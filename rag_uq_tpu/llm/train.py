@@ -185,9 +185,13 @@ class TinyLMTrainer:
         dummy = jnp.zeros((1, self.config.seq_len), dtype=jnp.int32)
         self.params = self.module.init(rng, dummy)["params"]
 
+        # Clip warmup so the cosine decay span stays positive (optax
+        # rejects decay_steps=0; hit by e.g. a 1-step smoke fine-tune).
+        warmup = min(self.config.warmup_steps,
+                     max(self.config.total_steps - 1, 0))
         schedule = optax.warmup_cosine_decay_schedule(
-            0.0, self.config.learning_rate, self.config.warmup_steps,
-            self.config.total_steps,
+            0.0, self.config.learning_rate, warmup,
+            max(self.config.total_steps, 1),
         )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(self.config.grad_clip_norm),
