@@ -31,10 +31,19 @@ def run_calibration(
     db_path: str = "data/calibration_scores.db",
     max_context_chars: int = 2000,
     output_path: Optional[str] = "results/calibration_results.json",
+    nonconformity_mode: str = "length_ratio",
 ) -> dict:
     samples = load_qa_jsonl(nq_path, limit=n_calibration)
     llm = llm_client or MockLLM()
-    conformal = ConformalRAG(llm, calibration_db_path=db_path, alpha=alpha)
+    mc = None
+    if nonconformity_mode == "mc_variance":
+        # Explicit estimator => calibrate() scores whole chunks through
+        # one B*K-sample device program (uq/mc.get_confidence_batch).
+        from rag_uq_tpu.uq.mc import MCDropoutConfidence
+
+        mc = MCDropoutConfidence(llm, n_samples=8, seed=0)
+    conformal = ConformalRAG(llm, calibration_db_path=db_path, alpha=alpha,
+                             nonconformity_mode=nonconformity_mode, mc=mc)
 
     questions = [s["question"] for s in samples]
     contexts = [str(s.get("context", ""))[:max_context_chars] for s in samples]

@@ -95,40 +95,23 @@ def _gold_ids_batch(
     return out  # type: ignore[return-value]
 
 
-def run_evaluation(
+def _predict_batch(
     retriever: HybridRetriever,
     samples: Sequence[dict],
-    llm=None,
-    router: Optional[RetrievalRouter] = None,
-    conformal: Optional[ConformalRAG] = None,
-    mc_samples: int = 0,
-    top_k: int = 10,
-    context_passages: int = 3,
-    max_context_chars: int = 2000,
-    output_dir: str = "results",
-    save: bool = True,
+    llm,
+    router: Optional[RetrievalRouter],
+    conformal: Optional[ConformalRAG],
+    mc: Optional[MCDropoutConfidence],
+    top_k: int,
+    context_passages: int,
+    max_context_chars: int,
 ) -> Dict:
-    """Batched evaluation through the device hot path.
-
-    The reference loops query-by-query (run_evaluation.py:157-212); here the
-    whole test set goes through ONE batched retrieval pass (union pool,
-    fixed-fusion ranking, optional router rerank — same per-query semantics)
-    and chunked `generate_batch` calls. Per-query latency is reported as the
-    batch wall-clock divided by the batch size (the amortized per-query cost
-    of the batched deployment path; the reference's numbers are serial
-    per-query costs).
-    """
-    llm = llm or MockLLM()
-    evaluator = RAGEvaluator(output_dir=output_dir)
-    mc = (
-        MCDropoutConfidence(llm, n_samples=mc_samples, seed=0)
-        if mc_samples > 0
-        else None
-    )
+    """Shared batched predict path: retrieval -> contexts -> generation ->
+    confidence, for a sample list. Used for both the test set and the
+    labeled calibration split (Platt scaling)."""
     samples = list(samples)
     n = len(samples)
     questions = [s["question"] for s in samples]
-    all_answers = [s.get("answers") or [s.get("answer", "")] for s in samples]
 
     # -- retrieval: one batched device pass + optional batched router rerank.
     t_r = time.time()
@@ -145,7 +128,6 @@ def run_evaluation(
         texts = [[row[j] for j in order[i]] for i, row in enumerate(texts)]
         router_weights = [float(w) for w in weights.mean(axis=1)]
     retrieval_total = time.time() - t_r
-    retrieval_times = [retrieval_total / max(n, 1)] * n
 
     contexts = [
         " ".join(t for t in row[:context_passages] if t)[:max_context_chars]
@@ -171,7 +153,6 @@ def run_evaluation(
             )
         )
     generation_total = time.time() - t_g
-    generation_times = [generation_total / max(n, 1)] * n
 
     # -- real UQ confidence instead of the reference's length placeholder.
     confidences: List[float] = []
@@ -195,6 +176,102 @@ def run_evaluation(
                 conf = 1.0 - ConformalRAG.estimate_nonconformity(pred, context)
             confidences.append(conf)
 
+    return {
+        "questions": questions,
+        "ids": ids,
+        "contexts": contexts,
+        "predictions": predictions,
+        "confidences": confidences,
+        "router_weights": router_weights,
+        "retrieval_total": retrieval_total,
+        "generation_total": generation_total,
+    }
+
+
+def run_evaluation(
+    retriever: HybridRetriever,
+    samples: Sequence[dict],
+    llm=None,
+    router: Optional[RetrievalRouter] = None,
+    conformal: Optional[ConformalRAG] = None,
+    mc_samples: int = 0,
+    top_k: int = 10,
+    context_passages: int = 3,
+    max_context_chars: int = 2000,
+    output_dir: str = "results",
+    save: bool = True,
+    calibration_samples: Optional[Sequence[dict]] = None,
+) -> Dict:
+    """Batched evaluation through the device hot path.
+
+    The reference loops query-by-query (run_evaluation.py:157-212); here the
+    whole test set goes through ONE batched retrieval pass (union pool,
+    fixed-fusion ranking, optional router rerank — same per-query semantics)
+    and chunked `generate_batch` calls. Per-query latency is reported as the
+    batch wall-clock divided by the batch size (the amortized per-query cost
+    of the batched deployment path; the reference's numbers are serial
+    per-query costs).
+
+    With `calibration_samples` (a labeled held-out split disjoint from
+    `samples`), reported confidences are Platt-scaled: the same predict
+    path runs on the calibration split, p(correct | raw confidence) is fit
+    there (uq/scaling.py), and test confidences are mapped through it. Raw
+    ECE and the fitted (A, B) are reported under `confidence_scaling`.
+    """
+    llm = llm or MockLLM()
+    evaluator = RAGEvaluator(output_dir=output_dir)
+    mc = (
+        MCDropoutConfidence(llm, n_samples=mc_samples, seed=0)
+        if mc_samples > 0
+        else None
+    )
+    samples = list(samples)
+    n = len(samples)
+    pred = _predict_batch(
+        retriever, samples, llm, router, conformal, mc,
+        top_k, context_passages, max_context_chars,
+    )
+    questions = pred["questions"]
+    ids = pred["ids"]
+    predictions = pred["predictions"]
+    confidences = pred["confidences"]
+    router_weights = pred["router_weights"]
+    retrieval_total = pred["retrieval_total"]
+    generation_total = pred["generation_total"]
+    retrieval_times = [retrieval_total / max(n, 1)] * n
+    generation_times = [generation_total / max(n, 1)] * n
+    all_answers = [s.get("answers") or [s.get("answer", "")] for s in samples]
+
+    scaling_info = None
+    if calibration_samples:
+        from rag_uq_tpu.eval import metrics as M
+        from rag_uq_tpu.uq.scaling import apply_platt, fit_platt
+
+        cal = _predict_batch(
+            retriever, list(calibration_samples), llm, router, conformal, mc,
+            top_k, context_passages, max_context_chars,
+        )
+        cal_refs = [
+            (s.get("answers") or [s.get("answer", "")] or [""])[0]
+            for s in calibration_samples
+        ]
+        cal_correct = M.correctness_labels(cal["predictions"], cal_refs)
+        a, b = fit_platt(cal["confidences"], cal_correct)
+        raw_ece = evaluator.evaluate_calibration(
+            confidences, M.correctness_labels(predictions, [
+                ans[0] if ans else "" for ans in all_answers
+            ])
+        ).ece
+        confidences = [float(c) for c in apply_platt(confidences, a, b)]
+        scaling_info = {
+            "method": "platt",
+            "a": a,
+            "b": b,
+            "n_calibration": len(cal["confidences"]),
+            "cal_accuracy": float(np.mean(cal_correct)),
+            "raw_ece": float(raw_ece),
+        }
+
     latencies = [(retrieval_total + generation_total) / max(n, 1)] * n
     retrieved_ids = [[i for i in row if i] for row in ids]
     gold_ids = _gold_ids_batch(retriever, samples)
@@ -214,6 +291,8 @@ def run_evaluation(
         latencies, retrieval_times=retrieval_times, generation_times=generation_times
     )
     results["efficiency"] = eff.to_dict()
+    if scaling_info is not None:
+        results["confidence_scaling"] = scaling_info
     if save:
         with open(Path(output_dir) / "evaluation_results.json", "w") as f:
             json.dump(results, f, indent=2)

@@ -237,6 +237,11 @@ def run_pipeline(
     # Step 5: conformal calibration.
     from rag_uq_tpu.cli.calibrate import run_calibration
 
+    # UQ mode: "mc_variance" (default) uses one exchangeable score
+    # function at calibration and inference, so the conformal guarantee
+    # holds AND the reported confidence tracks answer consistency;
+    # "length_ratio" is the reference-parity heuristic (uq/conformal.py).
+    uq_mode = scales.get("uq_mode", "mc_variance")
     t0 = time.time()
     cal_results = run_calibration(
         nq_path,
@@ -244,6 +249,7 @@ def run_pipeline(
         n_calibration=scales["cal"],
         db_path=str(work / "calibration.db"),
         output_path=str(work / "calibration_results.json"),
+        nonconformity_mode=uq_mode,
     )
     timings["calibration_s"] = round(time.time() - t0, 1)
 
@@ -256,13 +262,20 @@ def run_pipeline(
     t0 = time.time()
     router = RetrievalRouter()
     RouterTrainer(router).load_checkpoint(str(work / "router/final_router.msgpack"))
-    conformal = ConformalRAG(llm, calibration_db_path=str(work / "calibration.db"))
+    eval_mc = None
+    if uq_mode == "mc_variance":
+        from rag_uq_tpu.uq.mc import MCDropoutConfidence
+
+        eval_mc = MCDropoutConfidence(llm, n_samples=8, seed=0)
+    conformal = ConformalRAG(llm, calibration_db_path=str(work / "calibration.db"),
+                             nonconformity_mode=uq_mode, mc=eval_mc)
     eval_results = run_evaluation(
         retriever,
         test_samples,
         llm=llm,
         router=router,
         conformal=conformal,
+        calibration_samples=cal_samples,
         output_dir=str(work / "results"),
     )
     timings["evaluation_s"] = round(time.time() - t0, 1)

@@ -230,9 +230,25 @@ class ConformalRAG:
             if self.nonconformity_mode == "mc_variance":
                 # Same score function as inference (no truth needed):
                 # exchangeable scores => valid split-conformal p-values.
-                scored = [self._mc_score(q, ctx) for _, q, ctx, _ in chunk]
-                uncertainties = [u for u, _ in scored]
-                preds = [p for _, p in scored]
+                if self._mc is not None and hasattr(
+                    self._mc, "get_confidence_batch"
+                ):
+                    # One B*K-sample device program for the whole chunk.
+                    results = self._mc.get_confidence_batch(
+                        self._MC_INSTRUCTION,
+                        [ctx for _, _, ctx, _ in chunk],
+                        [q for _, q, _, _ in chunk],
+                    )
+                    uncertainties = [
+                        float(r.uncertainty_score) for r in results
+                    ]
+                    preds = [r.consensus_answer for r in results]
+                else:
+                    scored = [
+                        self._mc_score(q, ctx) for _, q, ctx, _ in chunk
+                    ]
+                    uncertainties = [u for u, _ in scored]
+                    preds = [p for _, p in scored]
             else:
                 uncertainties = None
                 prompts = [self._build_prompt(ctx, q) for _, q, ctx, _ in chunk]

@@ -122,10 +122,20 @@ class MCDropoutConfidence:
                 prompts.append(full)
                 temps.append(p["temperature"])
                 tops.append(p["top_p"])
-        raw = self.llm.generate_batch(
-            prompts, temps, tops, max_tokens=self.max_tokens,
-            seed=int(self._rng.integers(0, 2**31 - 1)),
-        )
+        # Bound prompts per device program: generation prefill attention
+        # materializes [B, heads, L, L], so 256 streams at L=1280 is ~10 GB
+        # and OOMs a 16 GB chip. 64 streams (~2.5 GB worst case) keeps the
+        # program large enough to amortize dispatch.
+        max_prompts = max(self.n_samples, 64 - 64 % self.n_samples)
+        raw = []
+        for s in range(0, len(prompts), max_prompts):
+            raw.extend(self.llm.generate_batch(
+                prompts[s : s + max_prompts],
+                temps[s : s + max_prompts],
+                tops[s : s + max_prompts],
+                max_tokens=self.max_tokens,
+                seed=int(self._rng.integers(0, 2**31 - 1)),
+            ))
         results = []
         for i in range(n):
             answers = [

@@ -273,3 +273,43 @@ class TestHybridConfidence:
         assert out["combined_confidence"] == pytest.approx(
             (out["mc_confidence"] + out["conformal_confidence"]) / 2
         )
+
+
+class TestPlattScaling:
+    def test_reduces_ece_on_overconfident_scores(self):
+        from rag_uq_tpu.eval.metrics import evaluate_calibration
+        from rag_uq_tpu.uq.scaling import apply_platt, fit_platt
+
+        rng = np.random.default_rng(0)
+        n = 400
+        # Overconfident: raw confidence ~0.95 regardless; true accuracy 0.5
+        # but mildly score-correlated so the logistic has signal.
+        correct = rng.random(n) < 0.5
+        conf = np.clip(0.9 + 0.05 * correct + 0.02 * rng.random(n), 0, 1)
+        a, b = fit_platt(conf[:200], correct[:200])
+        scaled = apply_platt(conf[200:], a, b)
+        raw_ece = evaluate_calibration(conf[200:], correct[200:].astype(int)).ece
+        new_ece = evaluate_calibration(scaled, correct[200:].astype(int)).ece
+        assert new_ece < raw_ece
+        assert new_ece < 0.15
+
+    def test_one_sided_split_is_finite(self):
+        from rag_uq_tpu.uq.scaling import apply_platt, fit_platt
+
+        a, b = fit_platt([0.9, 0.8, 0.95], [True, True, True])
+        out = apply_platt([0.5, 0.9], a, b)
+        assert np.all(np.isfinite(out))
+        assert np.all((out >= 0) & (out <= 1))
+        a2, b2 = fit_platt([], [])
+        assert (a2, b2) == (1.0, 0.0)
+
+    def test_monotone(self):
+        from rag_uq_tpu.uq.scaling import apply_platt, fit_platt
+
+        rng = np.random.default_rng(1)
+        conf = rng.random(300)
+        correct = rng.random(300) < conf  # well-correlated
+        a, b = fit_platt(conf, correct)
+        xs = np.linspace(0, 1, 11)
+        ys = apply_platt(xs, a, b)
+        assert np.all(np.diff(ys) >= 0)  # A >= 0: higher conf -> higher p
