@@ -34,6 +34,8 @@ logger = logging.getLogger(__name__)
 
 def _build_corpus(n_docs: int, seed: int = 0):
     """Synthetic token-id passages (same shape trick as bench.py)."""
+    from rag_uq_tpu.core.types import Document
+
     rng = np.random.default_rng(seed)
     vocab = [f"w{i}" for i in range(30_000)]
     probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.07
@@ -43,7 +45,7 @@ def _build_corpus(n_docs: int, seed: int = 0):
         n_tok = int(rng.integers(40, 120))
         toks = rng.choice(len(vocab), size=n_tok, p=probs)
         docs.append(
-            {"id": f"doc{d}", "text": " ".join(vocab[t] for t in toks)}
+            Document(id=f"doc{d}", text=" ".join(vocab[t] for t in toks))
         )
     return docs
 
@@ -121,13 +123,25 @@ def main(argv=None) -> None:
     rng = np.random.default_rng(1)
     queries = []
     for _ in range(2048):
-        toks = docs[int(rng.integers(0, len(docs)))]["text"].split()
+        toks = docs[int(rng.integers(0, len(docs)))].text.split()
         s = int(rng.integers(0, max(1, len(toks) - 5)))
         queries.append(" ".join(toks[s:s + 5]))
 
+    # Warm every pow2 batch bucket the micro-batcher can form, so level
+    # p99s measure steady-state serving, not first-compile of a bucket
+    # (each distinct program is a ~60-90 s remote compile on the relayed
+    # TPU and shows up as a multi-second p99 spike otherwise).
+    t0 = time.time()
+    b = 1
+    while b <= 256:
+        retriever.hybrid_search_batch(queries[:b], top_k=10,
+                                      sparse_mode="scatter")
+        b *= 2
+    logger.info("bucket warmup in %.1fs", time.time() - t0)
+
     service = QueryService(retriever, tick_ms=args.tick_ms)
     try:
-        service.search(queries[:8], k=10)  # compile warmup
+        service.search(queries[:8], k=10)  # worker-path warmup
         levels = [
             run_level(service, queries, c, args.seconds)
             for c in args.concurrency

@@ -108,10 +108,20 @@ class DenseIndex:
         if not new_docs:
             logger.info("No new documents to add")
             return 0
-        self._grow(self._size + len(new_docs))
+        # Every batch is PADDED to batch_size so ingest compiles exactly one
+        # encode program and one append program, regardless of corpus size
+        # or tail length: on the relayed TPU each distinct program shape is
+        # a ~60-90 s remote compile, which once made a 20k-doc ingest spend
+        # ~15 of its 16 minutes compiling tail-shaped programs. Padded rows
+        # land beyond _size (capacity covers them) and are dead by the
+        # size-mask everywhere.
+        n_pad_total = -(-len(new_docs) // batch_size) * batch_size
+        self._grow(self._size + n_pad_total)
         for i in range(0, len(new_docs), batch_size):
             batch = new_docs[i : i + batch_size]
-            vecs = self.embedder.encode([d.text for d in batch])
+            texts = [d.text for d in batch]
+            texts += [""] * (batch_size - len(batch))
+            vecs = self.embedder.encode(texts)
             if self.config.normalize:
                 norms = np.linalg.norm(vecs, axis=1, keepdims=True)
                 vecs = vecs / np.maximum(norms, 1e-12)
