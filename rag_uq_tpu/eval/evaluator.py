@@ -120,10 +120,16 @@ class RAGEvaluator:
         confidences: Sequence[float],
         latencies: Sequence[float],
         router_weights: Optional[Sequence[float]] = None,
+        router_decisions: Optional[Sequence[int]] = None,
+        oracle_decisions: Optional[Sequence[int]] = None,
         save_results: bool = True,
     ) -> Dict[str, Any]:
         """All metric groups + plots + JSON report (reference :668-746)."""
-        retrieval = self.evaluate_retrieval(retrieved_ids, gold_ids)
+        retrieval = self.evaluate_retrieval(
+            retrieved_ids, gold_ids,
+            router_decisions=router_decisions,
+            oracle_decisions=oracle_decisions,
+        )
         generation = self.evaluate_generation(predictions, references)
         correctness = M.correctness_labels(predictions, references)
         calibration = self.evaluate_calibration(confidences, correctness)

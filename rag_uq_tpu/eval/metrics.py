@@ -278,6 +278,34 @@ def correctness_labels(
     ]
 
 
+def best_reference(prediction: str, answers: Sequence[str]) -> str:
+    """SQuAD-style alias selection: the gold answer that grades `prediction`
+    best (EM first, then token-F1). The reference grades against only
+    `answers[0]` (run_evaluation.py:204), mislabeling predictions that match
+    a non-first alias; grading against the best alias keeps generation
+    metrics, correctness labels, and calibration targets mutually consistent
+    (advisor finding r2)."""
+    answers = [a for a in answers if a] or [""]
+    if len(answers) == 1:
+        return answers[0]
+    return max(
+        answers,
+        key=lambda a: (exact_match(prediction, a), token_f1(prediction, a)),
+    )
+
+
+def correctness_labels_multi(
+    predictions: Sequence[str], answers_lists: Sequence[Sequence[str]]
+) -> List[int]:
+    """Correct iff EM or token-F1 > 0.5 against ANY gold alias."""
+    return [
+        1 if any(
+            exact_match(p, a) or token_f1(p, a) > 0.5 for a in (ans or [""]) if a
+        ) else 0
+        for p, ans in zip(predictions, answers_lists)
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Calibration metrics
 # ---------------------------------------------------------------------------

@@ -200,6 +200,12 @@ class TinyLMTrainer:
         self.opt_state = self.optimizer.init(self.params)
         self._train_step = self.make_train_step()
         self.losses: List[float] = []
+        # Explicit lifetime step counter: survives restore_state (which only
+        # keeps a 50-entry losses tail), so a save after a restore persists
+        # the TRUE step count rather than len(self.losses) — advisor finding
+        # r2 (a second restart would otherwise resume from the wrong step
+        # and re-run already-completed steps with wrong per-step seeds).
+        self.step = 0
 
     def make_train_step(self):
         module, optimizer = self.module, self.optimizer
@@ -226,6 +232,7 @@ class TinyLMTrainer:
         )
         loss = float(loss)
         self.losses.append(loss)
+        self.step += 1
         return loss
 
     def fit(self, texts: Sequence[str], steps: Optional[int] = None) -> List[float]:
@@ -298,7 +305,7 @@ class TinyLMTrainer:
             json.dump({
                 "model_config": vars(self.model_config),
                 "train_config": vars(self.config),
-                "n_steps": len(self.losses),
+                "n_steps": self.step,
                 "losses_tail": self.losses[-50:],
             }, f)
 
@@ -321,9 +328,10 @@ class TinyLMTrainer:
         self.params = restored["params"]
         self.opt_state = restored["opt_state"]
         self.losses = list(meta.get("losses_tail", []))
+        self.step = int(meta["n_steps"])
         logger.info("Restored training state from %s at step %d",
-                    path, meta["n_steps"])
-        return int(meta["n_steps"])
+                    path, self.step)
+        return self.step
 
     def save_checkpoint(self, path: str) -> None:
         """Trained params + model/train config (msgpack + json sidecar)."""
@@ -339,7 +347,7 @@ class TinyLMTrainer:
             "model_config": vars(self.model_config),
             "train_config": vars(self.config),
             "losses": self.losses[-20:],
-            "n_steps": len(self.losses),
+            "n_steps": self.step,
         }
         with open(str(path) + ".json", "w") as f:
             json.dump(meta, f, indent=2)

@@ -136,8 +136,7 @@ class ShardedHybridIndex:
         )
         dcap = delta_csr["n_docs_cap"]
         demb = np.zeros((dcap, self.dense_config.embedding_dim), np.float32)
-        stacked = np.concatenate(self._host_emb, axis=0)
-        demb[:n_delta] = stacked[base["docs"] : n]
+        demb[:n_delta] = self._host_emb_tail(n_delta)
 
         rep = NamedSharding(self.mesh, PartitionSpec())
         dtype = jnp.dtype(self.dense_config.dtype)
@@ -157,6 +156,23 @@ class ShardedHybridIndex:
         )
         return self._synced
 
+    def _host_emb_tail(self, n_delta: int) -> np.ndarray:
+        """Last `n_delta` embedding rows, walking the chunk list from the
+        tail — O(delta) host work per delta sync, not O(corpus) (advisor
+        finding r2: a full np.concatenate here made the documented O(delta)
+        streaming-ingest cost O(corpus) in host memcpy)."""
+        if n_delta <= 0:
+            return np.zeros((0, self.dense_config.embedding_dim), np.float32)
+        tail: list = []
+        need = n_delta
+        for chunk in reversed(self._host_emb):
+            take = min(need, chunk.shape[0])
+            tail.append(chunk[chunk.shape[0] - take :])
+            need -= take
+            if need == 0:
+                break
+        return np.concatenate(tail[::-1], axis=0)
+
     def _sync_full(self) -> Dict[str, object]:
         n = len(self)
         shard_cap = _next_pow2(max(-(-n // self.n_shards), 1), floor=128)
@@ -166,6 +182,9 @@ class ShardedHybridIndex:
         if self._host_emb:
             stacked = np.concatenate(self._host_emb, axis=0)
             emb[: stacked.shape[0]] = stacked
+            # Consolidate so later delta syncs / saves never re-concat the
+            # whole chunk list (full reshard is the one O(corpus) moment).
+            self._host_emb = [stacked]
         emb_sharded = shard_corpus_matrix(
             jnp.asarray(emb).astype(jnp.dtype(self.dense_config.dtype)), self.mesh
         )
