@@ -374,12 +374,24 @@ def run_ablation_study(
     output_dir: str = "results/ablation",
 ) -> Dict[str, Dict]:
     """Four retrieval arms (implemented, unlike the reference's TODO stub):
-    bm25-only, dense-only, fixed-weight hybrid, learned router."""
+    bm25-only, dense-only, fixed-weight hybrid, learned router.
+
+    When samples carry `metadata.slice` labels (e.g. synth_wiki's
+    "lexical" vs "semantic" paraphrase-stress split), every arm is also
+    reported per slice under `by_slice` — the evidence surface for
+    "dense beats bm25 on semantic, bm25 beats dense on lexical, learned
+    routing wins overall" (VERDICT r2 next #3)."""
     llm = llm or MockLLM()
     evaluator = RAGEvaluator(output_dir=output_dir)
     arms: Dict[str, Dict] = {}
     samples = list(samples)
     questions = [s["question"] for s in samples]
+    slices = [
+        (s.get("metadata") or {}).get("slice") for s in samples
+    ]
+    slice_names = sorted({s for s in slices if s})
+    if len(slice_names) < 2:
+        slice_names = []
 
     # Gold ids depend only on (corpus, answers): compute once, reuse per arm.
     gold = _gold_ids_batch(retriever, samples)
@@ -390,8 +402,16 @@ def run_ablation_study(
             [store.ids[int(p)] for p in row if p >= 0] for row in pos_rows
         ]
 
-    def eval_arm(name: str, retrieved: List[List[str]]) -> None:
-        arms[name] = evaluator.evaluate_retrieval(retrieved, gold).to_dict()
+    def eval_arm(name: str, retrieved: List[List[str]], **kw) -> None:
+        arms[name] = evaluator.evaluate_retrieval(retrieved, gold, **kw).to_dict()
+        if slice_names:
+            arms[name]["by_slice"] = {}
+            for sl in slice_names:
+                idx = [i for i, s in enumerate(slices) if s == sl]
+                arms[name]["by_slice"][sl] = evaluator.evaluate_retrieval(
+                    [retrieved[i] for i in idx], [gold[i] for i in idx]
+                ).to_dict()
+                arms[name]["by_slice"][sl]["n"] = len(idx)
 
     # Every arm is one batched device pass over the whole test set.
     _, b_pos = retriever.bm25_index.search_batch(questions, top_k=top_k)
@@ -412,12 +432,12 @@ def run_ablation_study(
             retriever, samples, top_k, gold=gold, b_pos=b_pos, d_pos=d_pos
         )
         decisions = [1 if float(x) > 0.5 else 0 for x in w.mean(axis=1)]
-        arms["learned_router"] = evaluator.evaluate_retrieval(
+        eval_arm(
+            "learned_router",
             [[ids[i][j] for j in order[i] if ids[i][j]] for i in range(len(ids))],
-            gold,
             router_decisions=decisions,
             oracle_decisions=oracle,
-        ).to_dict()
+        )
 
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     with open(Path(output_dir) / "ablation_results.json", "w") as f:

@@ -43,6 +43,8 @@ def run_pipeline(
     train_lm: bool = True,
     train_encoder: bool = True,
     scales: Optional[dict] = None,
+    alias_questions: int = 0,
+    run_ablation: bool = False,
 ) -> dict:
     scales = scales or (
         {"articles": 1500, "nq": 1500, "cal": 100, "test": 50, "epochs": 10,
@@ -60,7 +62,12 @@ def run_pipeline(
         from rag_uq_tpu.data.synth_wiki import generate_world, write_world
 
         t0 = time.time()
-        world = generate_world(scales["articles"], seed=seed)
+        # alias_questions > 0 adds the paraphrase-stress semantic split
+        # (entity aliases that appear in no article; data/synth_wiki.py).
+        world = generate_world(
+            scales["articles"], seed=seed,
+            alias_questions_per_entity=alias_questions,
+        )
         gen_corpus = str(work / "corpus.jsonl")
         gen_nq = str(work / "nq.jsonl")
         # Shuffle QAs so the calibration/test slices span entity kinds.
@@ -280,6 +287,17 @@ def run_pipeline(
     )
     timings["evaluation_s"] = round(time.time() - t0, 1)
 
+    ablation_results = None
+    if run_ablation:
+        from rag_uq_tpu.cli.evaluate import run_ablation_study
+
+        t0 = time.time()
+        ablation_results = run_ablation_study(
+            retriever, test_samples, llm=llm, router=router,
+            output_dir=str(work / "results" / "ablation"),
+        )
+        timings["ablation_s"] = round(time.time() - t0, 1)
+
     summary = {
         "scales": scales,
         "timings": timings,
@@ -292,6 +310,8 @@ def run_pipeline(
                         ("total_calibrated", "mean_nonconformity")},
         "evaluation": eval_results["summary"],
     }
+    if ablation_results is not None:
+        summary["ablation"] = ablation_results
     with open(work / "pipeline_summary.json", "w") as f:
         json.dump(summary, f, indent=2)
     logger.info("Pipeline complete: %s", work / "pipeline_summary.json")
@@ -308,6 +328,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="skip TinyLM training, use the canned MockLLM")
     parser.add_argument("--no-encoder", action="store_true",
                         help="skip encoder training (lexical hash embedder)")
+    parser.add_argument("--semantic", type=int, default=0, metavar="N",
+                        help="add N alias (paraphrase-stress) questions per "
+                        "entity to the generated world")
+    parser.add_argument("--ablation", action="store_true",
+                        help="run the 4-arm retrieval ablation on the test "
+                        "split (per-slice when --semantic is on)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -318,6 +344,8 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         train_lm=not args.mock_llm,
         train_encoder=not args.no_encoder,
         seed=args.seed,
+        alias_questions=args.semantic,
+        run_ablation=args.ablation,
     )
     print(json.dumps(summary, indent=2, default=str))
 

@@ -92,6 +92,12 @@ class Entity:
     kind: str  # person | city | element | book | event | animal
     name: str
     attrs: Dict[str, str]
+    # Paraphrase-stress alias: a surface form that refers to this entity but
+    # NEVER appears in any article text (assigned only when a world is
+    # generated with alias questions). A BM25 query using the alias has no
+    # lexical bridge to the gold article — only a trained encoder that has
+    # seen the alias in training questions can retrieve it.
+    alias: str = ""
 
 
 @dataclass
@@ -103,6 +109,10 @@ class QA:
     attribute: str
     gold_doc_ids: List[str] = field(default_factory=list)
     context: str = ""
+    # "lexical": the question names the entity (BM25-friendly).
+    # "semantic": the question uses the entity's alias, which occurs in no
+    # article — lexical retrieval fails by construction, dense must bridge.
+    slice: str = "lexical"
 
 
 @dataclass
@@ -124,7 +134,11 @@ class World:
                 "answers": q.answers,
                 "context": q.context,
                 "gold_doc_ids": q.gold_doc_ids,
-                "metadata": {"entity": q.entity, "attribute": q.attribute},
+                "metadata": {
+                    "entity": q.entity,
+                    "attribute": q.attribute,
+                    "slice": q.slice,
+                },
             }
             for q in self.qas
         ]
@@ -388,12 +402,23 @@ def generate_world(
     n_articles: int = 1000,
     questions_per_entity: int = 2,
     seed: int = 0,
+    alias_questions_per_entity: int = 0,
 ) -> World:
     """Generate a deterministic world of `n_articles` single-entity articles.
 
     Gold ids are verified: every QA's answer string appears in its gold
     article text (questions whose attribute phrasing can't guarantee that
     are dropped, so the returned QAs are always gold-consistent).
+
+    With `alias_questions_per_entity > 0`, each entity additionally gets a
+    unique two-word alias ("known as ...") that appears in NO article, and
+    that many extra questions phrased through the alias (slice="semantic").
+    These queries have no lexical overlap with their gold article beyond
+    template stopwords, so BM25 fails on them by construction while a dense
+    encoder trained on (alias question, gold passage) pairs can bridge them
+    — the paraphrase-stress split VERDICT r2 next #3 asks for. Aliases are
+    drawn from an independent rng stream so worlds WITHOUT alias questions
+    are byte-identical to earlier rounds' artifacts.
     """
     rng = np.random.default_rng(seed)
     entities = _make_entities(rng, n_articles)
@@ -434,6 +459,43 @@ def generate_world(
                 context=articles[i]["text"],
             ))
             made += 1
+
+    if alias_questions_per_entity > 0:
+        # Independent stream: adding aliases must not perturb the base world.
+        arng = np.random.default_rng((seed ^ 0xA11A5) & 0x7FFFFFFF)
+        taken = {e.name for e in entities}
+        for word_set in (_OCCUPATIONS, _GENRES, _HABITATS, _DIETS):
+            taken.update(word_set)
+        for i, ent in enumerate(entities):
+            ent.alias = (
+                f"{_unique_name(arng, taken, 2)} {_unique_name(arng, taken, 2)}"
+            )
+            keys = q_keys_by_kind[ent.kind]
+            order = arng.permutation(len(keys))
+            made = 0
+            for j in order:
+                if made >= alias_questions_per_entity:
+                    break
+                kind, attr = keys[int(j)]
+                templates, attr_key = _QUESTION_TEMPLATES[(kind, attr)]
+                answer = ent.attrs.get(attr_key)
+                if not answer or answer not in articles[i]["text"]:
+                    continue
+                q = templates[arng.integers(len(templates))].format(
+                    name=ent.alias
+                )
+                qas.append(QA(
+                    id=f"qa_{len(qas)}",
+                    question=q,
+                    answers=[answer],
+                    entity=ent.name,
+                    attribute=attr_key,
+                    gold_doc_ids=[articles[i]["id"]],
+                    context=articles[i]["text"],
+                    slice="semantic",
+                ))
+                made += 1
+
     logger.info(
         "Generated world: %d articles, %d QA pairs (seed %d)",
         len(articles), len(qas), seed,

@@ -103,5 +103,17 @@ class TransformerEmbedder:
         out = self._apply(self.params, jnp.asarray(ids), jnp.asarray(lengths))
         return np.asarray(out, dtype=np.float32)
 
+    def encode_mesh(self, texts: Sequence[str], mesh) -> np.ndarray:
+        """Batch embedding DP-sharded over the mesh's first axis (the
+        transformer forward runs on every chip's local batch rows)."""
+        from rag_uq_tpu.embed.base import encode_on_mesh
+
+        ids, lengths = hash_texts(
+            texts, self.config.vocab_buckets, self.config.max_seq_len
+        )
+        return encode_on_mesh(
+            lambda i, l: self._apply(self.params, i, l), ids, lengths, mesh
+        )
+
     def encode_device(self, ids: jax.Array, lengths: jax.Array) -> jax.Array:
         return self._apply(self.params, ids, lengths)

@@ -95,7 +95,7 @@ class NgramHashEmbedder:
             ]
         return feats[: self.max_len]
 
-    def encode(self, texts: Sequence[str]) -> np.ndarray:
+    def _hash_batch(self, texts: Sequence[str]):
         ids = np.zeros((len(texts), self.max_len), dtype=np.int32)
         lengths = np.zeros((len(texts),), dtype=np.int32)
         for i, text in enumerate(texts):
@@ -103,8 +103,21 @@ class NgramHashEmbedder:
             lengths[i] = len(feats)
             if feats:
                 ids[i, : len(feats)] = np.asarray(feats, dtype=np.int32)
+        return ids, lengths
+
+    def encode(self, texts: Sequence[str]) -> np.ndarray:
+        ids, lengths = self._hash_batch(texts)
         out = _bag_embed(self.table, jnp.asarray(ids), jnp.asarray(lengths))
         return np.asarray(out)
+
+    def encode_mesh(self, texts: Sequence[str], mesh) -> np.ndarray:
+        """Batch embedding DP-sharded over the mesh's first axis."""
+        from rag_uq_tpu.embed.base import encode_on_mesh
+
+        ids, lengths = self._hash_batch(texts)
+        return encode_on_mesh(
+            lambda i, l: _bag_embed(self.table, i, l), ids, lengths, mesh
+        )
 
     def encode_device(self, ids: jax.Array, lengths: jax.Array) -> jax.Array:
         """Device-side path for pre-hashed inputs (used inside pipelines)."""

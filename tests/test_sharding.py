@@ -150,3 +150,79 @@ class TestMultihostSeam:
 
         mesh = make_multihost_mesh()
         assert mesh.shape[CORPUS_AXIS] == len(jax.devices())
+
+
+class TestTieAwareAgreement:
+    """Exactness-comparison contract (cli/bench_sharded.tie_aware_agreement)."""
+
+    def _mk(self, scores, pos):
+        return np.asarray(scores, np.float32), np.asarray(pos, np.int32)
+
+    def test_identical_results_agree(self):
+        from rag_uq_tpu.cli.bench_sharded import tie_aware_agreement
+
+        v, p = self._mk([[3.0, 2.0, 1.0]], [[5, 7, 9]])
+        out = tie_aware_agreement(v, p, v.copy(), p.copy())
+        assert out["raw_idx_agreement"] == 1.0
+        assert out["tie_aware_agreement"] == 1.0
+        assert not out["violations"]
+
+    def test_equal_score_swap_is_benign(self):
+        from rag_uq_tpu.cli.bench_sharded import tie_aware_agreement
+
+        fv, fp = self._mk([[3.0, 2.0, 2.0, 1.0]], [[5, 7, 9, 2]])
+        uv, up = self._mk([[3.0, 2.0, 2.0, 1.0]], [[5, 9, 7, 2]])
+        out = tie_aware_agreement(fv, fp, uv, up)
+        assert out["raw_idx_agreement"] < 1.0
+        assert out["tie_aware_agreement"] == 1.0
+        assert not out["violations"]
+
+    def test_storage_resolution_near_tie(self):
+        # The diagnosed 1M case: two docs within bf16 resolution swap order
+        # because the fused path reads bf16 impacts — benign at rtol=2^-8,
+        # a violation at f32 resolution.
+        from rag_uq_tpu.cli.bench_sharded import tie_aware_agreement
+
+        fv, fp = self._mk([[0.5, 0.47466, 0.47445]], [[1, 20, 30]])
+        uv, up = self._mk([[0.5, 0.47445, 0.47423]], [[1, 30, 20]])
+        ok = tie_aware_agreement(fv, fp, uv, up, rtol=2.0 ** -8)
+        assert ok["tie_aware_agreement"] == 1.0 and not ok["violations"]
+        bad = tie_aware_agreement(fv, fp, uv, up, rtol=1e-6)
+        assert bad["tie_aware_agreement"] == 0.0
+        assert bad["violations"][0]["kind"] == "rankwise_score_mismatch"
+
+    def test_real_divergence_is_flagged(self):
+        from rag_uq_tpu.cli.bench_sharded import tie_aware_agreement
+
+        fv, fp = self._mk([[3.0, 2.0, 1.0]], [[5, 7, 9]])
+        uv, up = self._mk([[3.0, 2.5, 1.0]], [[5, 4, 9]])
+        out = tie_aware_agreement(fv, fp, uv, up)
+        assert out["tie_aware_agreement"] == 0.0
+        assert out["violations"][0]["kind"] == "rankwise_score_mismatch"
+
+
+class TestMeshEmbed:
+    """DP ingest embedding (embed/base.py::encode_on_mesh)."""
+
+    def test_matches_single_device_uneven_batch(self):
+        from rag_uq_tpu.embed.hash_embed import NgramHashEmbedder
+
+        mesh = make_mesh(8)
+        emb = NgramHashEmbedder(dim=64, buckets=1024)
+        texts = [f"doc number {i} about topic {i % 5}" for i in range(11)]
+        np.testing.assert_allclose(
+            emb.encode_mesh(texts, mesh), emb.encode(texts), atol=1e-5
+        )
+
+    def test_transformer_encoder_mesh(self):
+        from rag_uq_tpu.embed.encoder import EncoderConfig, TransformerEmbedder
+
+        mesh = make_mesh(8)
+        emb = TransformerEmbedder(
+            EncoderConfig(dim=32, num_layers=1, num_heads=2, mlp_dim=64,
+                          max_seq_len=16, vocab_buckets=512)
+        )
+        texts = [f"short text {i}" for i in range(9)]
+        np.testing.assert_allclose(
+            emb.encode_mesh(texts, mesh), emb.encode(texts), atol=2e-2
+        )

@@ -47,6 +47,37 @@ class TestWorld:
         kinds = {e.kind for e in w.entities}
         assert kinds == {"person", "city", "element", "book", "event", "animal"}
 
+    def test_alias_questions_semantic_slice(self):
+        # Paraphrase-stress split: aliases appear in NO article, semantic
+        # questions use them, and the base world is byte-identical with or
+        # without alias generation (independent rng stream).
+        base = generate_world(60, seed=3)
+        w = generate_world(60, seed=3, alias_questions_per_entity=2)
+        assert [a["text"] for a in base.articles] == [
+            a["text"] for a in w.articles
+        ]
+        assert [q.question for q in base.qas] == [
+            q.question for q in w.qas[: len(base.qas)]
+        ]
+        sem = [q for q in w.qas if q.slice == "semantic"]
+        lex = [q for q in w.qas if q.slice == "lexical"]
+        assert len(sem) >= 60 and len(lex) >= 60
+        corpus_words = set(
+            " ".join(a["text"].lower() for a in w.articles).split()
+        )
+        alias_words = set()
+        for e in w.entities:
+            assert e.alias
+            alias_words.update(e.alias.lower().split())
+        assert not (alias_words & corpus_words), "alias leaked into articles"
+        # Semantic QAs stay gold-consistent.
+        by_id = {a["id"]: a for a in w.articles}
+        for q in sem:
+            assert q.answers[0] in by_id[q.gold_doc_ids[0]]["text"]
+        # qa_rows carries the slice label for per-slice ablation reporting.
+        rows = w.qa_rows()
+        assert {r["metadata"]["slice"] for r in rows} == {"lexical", "semantic"}
+
     def test_write_world(self, tmp_path):
         from rag_uq_tpu.data.loaders import load_qa_jsonl, read_jsonl
 
