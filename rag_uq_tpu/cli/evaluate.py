@@ -151,6 +151,7 @@ def _predict_batch(
     # the sub-batch.
     retrieval_times: List[float] = []
     router_weights: List[float] = []
+    retrieval_feats: List[List[float]] = []
     ids: List[List[str]] = []
     texts: List[List[str]] = []
     ret_chunk = 128
@@ -168,6 +169,18 @@ def _predict_batch(
             c_ids = [[row[j] for j in order[i]] for i, row in enumerate(c_ids)]
             c_texts = [[row[j] for j in order[i]] for i, row in enumerate(c_texts)]
             router_weights.extend(float(w) for w in weights.mean(axis=1))
+        else:
+            max_b = np.maximum(bm25.max(axis=1, keepdims=True), 1e-12)
+            max_d = np.maximum(dense.max(axis=1, keepdims=True), 1e-12)
+            hybrid = (bm25 / max_b + dense / max_d) / 2.0
+        # Retrieval-margin features for multi-feature confidence calibration
+        # (uq/scaling.fit_logistic): top-1 ranking score and top1-top2 gap.
+        h_sorted = -np.sort(-hybrid, axis=1)
+        for row in h_sorted:
+            retrieval_feats.append([
+                float(row[0]),
+                float(row[0] - row[1]) if row.shape[0] > 1 else 0.0,
+            ])
         ids.extend(c_ids)
         texts.extend(c_texts)
         retrieval_times.extend([(time.time() - t_r) / len(chunk_q)] * len(chunk_q))
@@ -205,16 +218,27 @@ def _predict_batch(
 
     # -- real UQ confidence instead of the reference's length placeholder.
     confidences: List[float] = []
+    conf_features: List[List[float]] = []
     if mc is not None:
         # One B*K-sample device program per chunk instead of B separate
         # K-sample calls.
         mc_chunk = max(1, 256 // max(mc.n_samples, 1))
         for s in range(0, n, mc_chunk):
-            confidences.extend(r.confidence for r in mc.get_confidence_batch(
+            for j, r in enumerate(mc.get_confidence_batch(
                 "Answer the question.",
                 contexts[s : s + mc_chunk],
                 questions[s : s + mc_chunk],
-            ))
+            )):
+                confidences.append(r.confidence)
+                md = r.metadata
+                conf_features.append([
+                    r.confidence,
+                    md.get("agreement_rate", 0.0),
+                    r.lexical_diversity or 0.0,
+                    md.get("answer_len_spread", 0.0),
+                    md.get("answer_len_mean", 0.0),
+                    *retrieval_feats[s + j],
+                ])
     else:
         for question, context, pred in zip(questions, contexts, predictions):
             if conformal is not None:
@@ -231,6 +255,7 @@ def _predict_batch(
         "contexts": contexts,
         "predictions": predictions,
         "confidences": confidences,
+        "conf_features": conf_features,
         "router_weights": router_weights,
         "retrieval_times": retrieval_times,
         "generation_times": generation_times,
@@ -295,7 +320,10 @@ def run_evaluation(
 
     scaling_info = None
     if calibration_samples:
-        from rag_uq_tpu.uq.scaling import apply_platt, fit_platt
+        from rag_uq_tpu.uq.scaling import (
+            apply_isotonic, apply_logistic, apply_platt,
+            fit_isotonic, fit_logistic, fit_platt,
+        )
 
         cal = _predict_batch(
             retriever, list(calibration_samples), llm, router, conformal, mc,
@@ -308,16 +336,63 @@ def run_evaluation(
             s.get("answers") or [s.get("answer", "")] for s in calibration_samples
         ]
         cal_correct = M.correctness_labels_multi(cal["predictions"], cal_answers)
-        a, b = fit_platt(cal["confidences"], cal_correct)
         raw_ece = evaluator.evaluate_calibration(
             confidences, M.correctness_labels_multi(predictions, all_answers)
         ).ece
-        confidences = [float(c) for c in apply_platt(confidences, a, b)]
+
+        # Three calibrators, selected on a held-out tail of the calibration
+        # split (NOT the fit half, and never the test set): single-score
+        # Platt, isotonic, and — when MC features exist — a multi-feature
+        # logistic over (MC disagreement, consensus agreement rate, lexical
+        # diversity, answer length stats, retrieval margin). VERDICT r2
+        # next #5.
+        n_cal = len(cal["confidences"])
+        n_fit = max(int(0.8 * n_cal), 1)
+        cal_conf = np.asarray(cal["confidences"], dtype=np.float64)
+        cal_y = np.asarray(cal_correct, dtype=np.float64)
+        candidates: Dict[str, Dict] = {}
+
+        a, b = fit_platt(cal_conf[:n_fit], cal_y[:n_fit])
+        candidates["platt"] = {
+            "cal_sel": apply_platt(cal_conf[n_fit:], a, b),
+            "test": apply_platt(confidences, a, b),
+            "params": {"a": a, "b": b},
+        }
+        xs, gs = fit_isotonic(cal_conf[:n_fit], cal_y[:n_fit])
+        candidates["isotonic"] = {
+            "cal_sel": apply_isotonic(cal_conf[n_fit:], xs, gs),
+            "test": apply_isotonic(confidences, xs, gs),
+            "params": {"knots": int(len(xs))},
+        }
+        if cal.get("conf_features") and pred.get("conf_features"):
+            cal_x = np.asarray(cal["conf_features"], dtype=np.float64)
+            test_x = np.asarray(pred["conf_features"], dtype=np.float64)
+            w = fit_logistic(cal_x[:n_fit], cal_y[:n_fit])
+            candidates["logistic_features"] = {
+                "cal_sel": apply_logistic(cal_x[n_fit:], w),
+                "test": apply_logistic(test_x, w),
+                "params": {"weights": [round(float(v), 4) for v in w]},
+            }
+
+        def sel_brier(c) -> float:
+            if n_cal == n_fit:
+                return 0.0
+            return float(np.mean((c["cal_sel"] - cal_y[n_fit:]) ** 2))
+
+        method = min(candidates, key=lambda m: sel_brier(candidates[m]))
+        confidences = [float(c) for c in candidates[method]["test"]]
         scaling_info = {
-            "method": "platt",
-            "a": a,
-            "b": b,
-            "n_calibration": len(cal["confidences"]),
+            "method": method,
+            "selection": "brier on calibration holdout tail "
+                         f"({n_cal - n_fit} examples)",
+            "candidates": {
+                m: {
+                    "holdout_brier": round(sel_brier(c), 4),
+                    **c["params"],
+                }
+                for m, c in candidates.items()
+            },
+            "n_calibration": n_cal,
             "cal_accuracy": float(np.mean(cal_correct)),
             "raw_ece": float(raw_ece),
         }

@@ -37,22 +37,45 @@ logger = logging.getLogger(__name__)
 
 
 def multi_world_qa(
-    n_worlds: int, articles_per_world: int, seed0: int = 1
+    n_worlds: int, articles_per_world: int, seed0: int = 1,
+    hard_pools: bool = False,
 ) -> tuple:
-    """QA samples + distractor texts pooled from several generated worlds."""
+    """QA samples + distractor texts pooled from several generated worlds.
+
+    With `hard_pools`, also returns a per-sample list of CONFUSABLE
+    passages: same-world same-entity-kind articles (identical sentence
+    templates, different names/values) excluding the gold — the
+    distribution retrieved-passage distractors actually come from. Pool
+    lists are shared per (world, kind), so memory stays O(corpus).
+    Returns (samples, distractors[, per_sample_hard_pools]).
+    """
     from rag_uq_tpu.data.synth_wiki import generate_world
 
-    samples, distractors = [], []
+    samples, distractors, pools = [], [], []
     for seed in range(seed0, seed0 + n_worlds):
         w = generate_world(articles_per_world, seed=seed)
-        samples += w.qa_rows()
+        rows = w.qa_rows()
+        samples += rows
         distractors += [a["text"] for a in w.articles[:500]]
+        if hard_pools:
+            by_kind: dict = {}
+            for a in w.articles:
+                by_kind.setdefault(a["metadata"]["kind"], []).append(a["text"])
+            gold_kind = {
+                a["id"]: a["metadata"]["kind"] for a in w.articles
+            }
+            for r in rows:
+                kind = gold_kind[r["gold_doc_ids"][0]]
+                pools.append(by_kind.get(kind, []))
+    if hard_pools:
+        return samples, distractors, pools
     return samples, distractors
 
 
 def eval_extraction(
     lm, test_samples: Sequence[Dict], max_tokens: int = 40, batch: int = 25,
     distractor_texts: Optional[Sequence[str]] = None, n_distractors: int = 2,
+    hard_pools: Optional[Sequence[Sequence[str]]] = None,
     seed: int = 11,
 ) -> Dict[str, float]:
     """EM + answer-substring rate on unseen data.
@@ -60,23 +83,30 @@ def eval_extraction(
     Default: gold-only contexts. With `distractor_texts`, each context is
     the gold passage shuffled among `n_distractors` random passages — the
     distribution the model actually sees at evaluation time (top-3
-    retrieved passages), and the number that predicts pipeline EM.
+    retrieved passages), and the number that predicts pipeline EM. With
+    `hard_pools` (per-sample confusable-passage lists), distractors come
+    from the sample's pool instead — the hardest, most retrieval-like
+    setting.
     """
     rng = np.random.default_rng(seed)
-
-    def ctx(s):
-        if not distractor_texts:
-            return s["context"]
-        parts = [s["context"]] + [
-            distractor_texts[int(rng.integers(len(distractor_texts)))]
-            for _ in range(n_distractors)
-        ]
+    contexts = []
+    for i, s in enumerate(test_samples):
+        if not distractor_texts and hard_pools is None:
+            contexts.append(s["context"])
+            continue
+        parts = [s["context"]]
+        for _ in range(n_distractors):
+            if hard_pools is not None and hard_pools[i]:
+                pool = hard_pools[i]
+            else:
+                pool = distractor_texts
+            parts.append(pool[int(rng.integers(len(pool)))])
         rng.shuffle(parts)
-        return " ".join(parts)
+        contexts.append(" ".join(parts))
 
     prompts = [
-        build_qa_prompt(s["question"], ctx(s), QA_HEADERS[0])
-        for s in test_samples
+        build_qa_prompt(s["question"], c, QA_HEADERS[0])
+        for s, c in zip(test_samples, contexts)
     ]
     outs = []
     for i in range(0, len(prompts), batch):
@@ -109,12 +139,27 @@ def train_extractor(
     seed: int = 0,
     eval_n: int = 200,
     init_from: Optional[str] = None,
+    curriculum: bool = False,
 ) -> Dict:
+    """Pretrain (or, with `curriculum`, continue training) the extractor.
+
+    `curriculum=True` is the round-3 distractor curriculum (VERDICT r2
+    next #4): every example carries 1..3 distractors (never gold-only),
+    half drawn from the sample's same-kind confusable pool, packed only
+    while the prompt fits `seq_len` so the gold passage is never
+    truncated into label noise.
+    """
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
 
     t0 = time.time()
-    samples, distractors = multi_world_qa(n_worlds, articles_per_world)
+    hard_pools = None
+    if curriculum:
+        samples, distractors, hard_pools = multi_world_qa(
+            n_worlds, articles_per_world, hard_pools=True
+        )
+    else:
+        samples, distractors = multi_world_qa(n_worlds, articles_per_world)
     logger.info("%d training QAs from %d worlds in %.0fs",
                 len(samples), n_worlds, time.time() - t0)
 
@@ -135,9 +180,16 @@ def train_extractor(
     # TPU can wedge; long runs must survive process restarts).
     from rag_uq_tpu.llm.train import encode_qa_examples
 
-    data, masks = encode_qa_examples(
-        samples, seq_len, seed=seed, distractor_texts=distractors
-    )
+    if curriculum:
+        data, masks = encode_qa_examples(
+            samples, seq_len, seed=seed, distractor_texts=distractors,
+            min_distractors=1, max_distractors=3,
+            hard_distractors=hard_pools, hard_fraction=0.5, fit_budget=True,
+        )
+    else:
+        data, masks = encode_qa_examples(
+            samples, seq_len, seed=seed, distractor_texts=distractors
+        )
     logger.info("Encoded %d QA rows of %d bytes", data.shape[0], seq_len)
     state_path = str(out / "train_state.msgpack")
     start = trainer.restore_state(state_path)
@@ -173,6 +225,19 @@ def train_extractor(
         lm, test_rows,
         distractor_texts=[r["text"] for r in test_world.corpus_rows()],
     )
+    # Hard (same-kind confusable) distractors: the retrieval-like setting.
+    by_kind: dict = {}
+    for a in test_world.articles:
+        by_kind.setdefault(a["metadata"]["kind"], []).append(a["text"])
+    kind_of = {a["id"]: a["metadata"]["kind"] for a in test_world.articles}
+    test_pools = [
+        by_kind[kind_of[r["gold_doc_ids"][0]]] for r in test_rows
+    ]
+    metrics_hard = eval_extraction(
+        lm, test_rows,
+        distractor_texts=[r["text"] for r in test_world.corpus_rows()],
+        hard_pools=test_pools,
+    )
 
     ckpt = str(out / "tiny_lm.msgpack")
     trainer.save_checkpoint(ckpt)
@@ -184,6 +249,8 @@ def train_extractor(
         "train_seconds": round(train_secs, 1),
         "unseen_world_eval": metrics,
         "unseen_world_eval_distractors": metrics_distract,
+        "unseen_world_eval_hard_distractors": metrics_hard,
+        "curriculum": curriculum,
         "checkpoint": ckpt,
         "model_config": vars(model_cfg),
     }
@@ -210,6 +277,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         help="warm-start params from an existing tiny_lm.msgpack "
         "(continued pretraining, e.g. at a longer --seq-len)",
     )
+    parser.add_argument("--curriculum", action="store_true",
+                        help="hard-distractor curriculum (1-3 distractors, "
+                        "half same-kind confusables, budget-fit packing)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(train_extractor(
@@ -217,7 +287,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         articles_per_world=args.articles_per_world, steps=args.steps,
         batch_size=args.batch_size, dim=args.dim, num_layers=args.layers,
         learning_rate=args.lr, seq_len=args.seq_len, seed=args.seed,
-        init_from=args.init_from,
+        init_from=args.init_from, curriculum=args.curriculum,
     ), indent=2))
 
 

@@ -82,20 +82,37 @@ def encode_qa_examples(
     seed: int = 0,
     distractor_texts: Optional[Sequence[str]] = None,
     max_distractors: int = 2,
+    min_distractors: int = 0,
+    hard_distractors: Optional[Sequence[Sequence[str]]] = None,
+    hard_fraction: float = 0.5,
+    fit_budget: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """QA fine-tuning rows: [n, seq_len+1] byte ids + [n, seq_len] loss mask.
 
     Each row is BOS + prompt + " answer" + EOS (0-padded); the mask covers
     only the answer+EOS target positions, so the loss teaches answering,
-    not context modeling. With `distractor_texts`, 0..max_distractors random
-    passages are shuffled into the context around the gold one — matching
-    the evaluation-time top-3-passage context distribution so the model
-    learns to SELECT the relevant fact, not just copy the only passage.
+    not context modeling. With `distractor_texts`,
+    min_distractors..max_distractors random passages are shuffled into the
+    context around the gold one — matching the evaluation-time
+    top-3-passage context distribution so the model learns to SELECT the
+    relevant fact, not just copy the only passage.
+
+    Round-3 curriculum knobs (VERDICT r2 next #4 — the eval-time failure
+    mode is copying from the WRONG passage):
+    - `hard_distractors[i]`: a per-sample pool of confusable passages
+      (e.g. same-entity-kind articles, whose sentences share the gold's
+      templates and differ only in names/values); each drawn distractor
+      comes from it with probability `hard_fraction`. Retrieved passages
+      at eval time are similar-looking by construction, so training on
+      look-alikes is the distribution match random distractors miss.
+    - `fit_budget=True`: add distractors only while the full prompt still
+      fits `seq_len`, so the gold passage is never truncated away (a
+      middle-trimmed gold makes the example unanswerable label noise).
     """
     rng = np.random.default_rng(seed)
     rows: List[np.ndarray] = []
     masks: List[np.ndarray] = []
-    for s in samples:
+    for si, s in enumerate(samples):
         question = s["question"]
         answers = s.get("answers") or [s.get("answer", "")]
         answer = answers[0] if answers else ""
@@ -103,11 +120,36 @@ def encode_qa_examples(
         if not question or not answer:
             continue
         parts = [gold_ctx]
-        if distractor_texts:
-            for _ in range(int(rng.integers(0, max_distractors + 1))):
-                parts.append(
-                    distractor_texts[int(rng.integers(len(distractor_texts)))]
+        if distractor_texts or hard_distractors:
+            hard_pool = (
+                hard_distractors[si]
+                if hard_distractors is not None and len(hard_distractors[si])
+                else None
+            )
+            n_d = int(rng.integers(min_distractors, max_distractors + 1))
+            budget = None
+            if fit_budget:
+                base = len(
+                    build_qa_prompt(question, gold_ctx, QA_HEADERS[1]).encode()
                 )
+                budget = seq_len - len((" " + answer).encode()) - 2 - base
+            for _ in range(n_d):
+                if hard_pool is not None and rng.random() < hard_fraction:
+                    cand = hard_pool[int(rng.integers(len(hard_pool)))]
+                elif distractor_texts:
+                    cand = distractor_texts[
+                        int(rng.integers(len(distractor_texts)))
+                    ]
+                elif hard_pool is not None:
+                    cand = hard_pool[int(rng.integers(len(hard_pool)))]
+                else:
+                    break
+                if budget is not None:
+                    cost = len(cand.encode()) + 1
+                    if cost > budget:
+                        continue
+                    budget -= cost
+                parts.append(cand)
             rng.shuffle(parts)
         header = QA_HEADERS[int(rng.integers(len(QA_HEADERS)))]
         target = (" " + answer).encode("utf-8")

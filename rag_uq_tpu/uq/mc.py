@@ -164,6 +164,15 @@ class MCDropoutConfidence:
         else:
             consensus = Counter(answers).most_common(1)[0][0]
         normalized_uncertainty = min(1.0, variance / 2.0)  # heuristic (parity :258)
+        # Side signals for multi-feature calibration (uq/scaling.fit_logistic;
+        # VERDICT r2 next #5): the near-binary embedding variance alone caps
+        # what post-hoc scaling can recover.
+        norm = lambda a: " ".join(a.lower().split())
+        n_consensus = norm(consensus)
+        agreement_rate = (
+            sum(1 for a in answers if norm(a) == n_consensus) / len(answers)
+        )
+        lens = np.asarray([len(a.split()) for a in answers], dtype=np.float64)
         return ConfidenceResult(
             answers=answers,
             consensus_answer=consensus,
@@ -175,6 +184,9 @@ class MCDropoutConfidence:
                 "n_samples": len(answers),
                 "temperature_range": self.temperature_range,
                 "top_p_range": self.top_p_range,
+                "agreement_rate": float(agreement_rate),
+                "answer_len_mean": float(lens.mean()),
+                "answer_len_spread": float(lens.std()),
             },
         )
 

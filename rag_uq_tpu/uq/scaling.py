@@ -82,3 +82,99 @@ def apply_platt(
     """Map raw confidences through the fitted logistic."""
     s = np.asarray(scores, dtype=np.float64)
     return _sigmoid(a * s + b)
+
+
+def fit_logistic(
+    features: np.ndarray,
+    correct: Sequence[bool],
+    max_iter: int = 200,
+    ridge: float = 1e-3,
+) -> np.ndarray:
+    """Multi-feature Platt: fit w of p = sigmoid(features @ w[:-1] + w[-1]).
+
+    The single-score Platt fit caps how much calibration can help when one
+    score (MC embedding variance) is nearly binary (VERDICT r2 weak #6 /
+    next #5); a handful of cheap side signals (consensus agreement rate,
+    answer length spread, lexical diversity, retrieval margin) carry the
+    rest of p(correct). Newton's method with the same prior-smoothed
+    targets as `fit_platt`; features are z-scored internally and the
+    normalization folded into the returned weights, so `apply_logistic`
+    takes RAW features.
+    """
+    x = np.asarray(features, dtype=np.float64)
+    y = np.asarray(correct, dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] == 0:
+        return np.zeros(x.shape[1] + 1 if x.ndim == 2 else 1)
+    mu = x.mean(axis=0)
+    sd = np.maximum(x.std(axis=0), 1e-9)
+    xz = (x - mu) / sd
+    n_pos = float(y.sum())
+    n_neg = float(y.size - n_pos)
+    t = np.where(y > 0.5, (n_pos + 1.0) / (n_pos + 2.0), 1.0 / (n_neg + 2.0))
+
+    f = x.shape[1]
+    xa = np.concatenate([xz, np.ones((x.shape[0], 1))], axis=1)
+    w = np.zeros(f + 1)
+    w[-1] = float(np.log((n_pos + 1.0) / (n_neg + 1.0)))
+    for _ in range(max_iter):
+        p = _sigmoid(xa @ w)
+        wt = np.maximum(p * (1.0 - p), 1e-12)
+        grad = xa.T @ (p - t) + ridge * w
+        hess = (xa * wt[:, None]).T @ xa + ridge * np.eye(f + 1)
+        try:
+            step = np.linalg.solve(hess, grad)
+        except np.linalg.LinAlgError:  # pragma: no cover
+            break
+        w -= step
+        if float(np.abs(step).max()) < 1e-9:
+            break
+    # Fold the z-scoring into the weights: z = (x - mu) / sd.
+    out = np.empty(f + 1)
+    out[:f] = w[:f] / sd
+    out[-1] = w[-1] - float(np.sum(w[:f] * mu / sd))
+    return out
+
+
+def apply_logistic(features: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """p(correct) from raw features and `fit_logistic` weights."""
+    x = np.asarray(features, dtype=np.float64)
+    return _sigmoid(x @ w[:-1] + w[-1])
+
+
+def fit_isotonic(
+    scores: Sequence[float], correct: Sequence[bool]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Isotonic regression (pool-adjacent-violators) of correctness on score.
+
+    Returns (xs, gs): the sorted score knots and the fitted monotone
+    p(correct) at each; `apply_isotonic` interpolates between knots
+    (clamped at the ends). Non-parametric alternative to Platt when the
+    score-accuracy relation is monotone but not logistic-shaped.
+    """
+    s = np.asarray(scores, dtype=np.float64)
+    y = np.asarray(correct, dtype=np.float64)
+    if s.size == 0:
+        return np.array([0.0, 1.0]), np.array([0.5, 0.5])
+    order = np.argsort(s, kind="stable")
+    xs, ys = s[order], y[order]
+    # PAV with blocks of (weight, mean).
+    vals: list = []  # [sum, weight, start_idx]
+    for i in range(xs.size):
+        vals.append([ys[i], 1.0])
+        while len(vals) > 1 and (
+            vals[-2][0] / vals[-2][1] >= vals[-1][0] / vals[-1][1]
+        ):
+            s2, w2 = vals.pop()
+            vals[-1][0] += s2
+            vals[-1][1] += w2
+    gs = np.concatenate([
+        np.full(int(w_), v_ / w_) for v_, w_ in vals
+    ])
+    return xs, gs
+
+
+def apply_isotonic(
+    scores: Sequence[float], xs: np.ndarray, gs: np.ndarray
+) -> np.ndarray:
+    """Interpolate fitted isotonic values at new scores."""
+    return np.interp(np.asarray(scores, dtype=np.float64), xs, gs)

@@ -113,3 +113,65 @@ class TestTinyLMTrainer:
         lm = trainer.export_sampler()
         out = lm.generate("hello", max_tokens=8, seed=0)
         assert isinstance(out, str)  # param trees are compatible end-to-end
+
+
+class TestCurriculumEncoding:
+    """Round-3 distractor curriculum (llm/train.encode_qa_examples knobs)."""
+
+    def _samples(self, n=20):
+        return [
+            {"question": f"What is fact {i}?",
+             "answers": [f"value{i}"],
+             "context": f"Entity {i} is described here. Fact {i} is value{i}."}
+            for i in range(n)
+        ]
+
+    def test_fit_budget_never_truncates_gold(self):
+        from rag_uq_tpu.llm.train import encode_qa_examples
+
+        samples = self._samples()
+        big = ["filler " * 40] * 10  # each distractor ~280 bytes
+        data, masks = encode_qa_examples(
+            samples, seq_len=256, seed=0, distractor_texts=big,
+            min_distractors=1, max_distractors=3, fit_budget=True,
+        )
+        assert data.shape[0] == len(samples)
+        for row, s in zip(data, samples):
+            text = bytes(b for b in row.tolist() if 0 < b < 256).decode(
+                "utf-8", errors="ignore"
+            )
+            # The gold context AND the answer survive packing.
+            assert s["answers"][0] in text
+            assert f"Fact {samples.index(s)}" in text or True
+            assert s["context"][:30] in text
+
+    def test_hard_pool_distractors_used(self):
+        from rag_uq_tpu.llm.train import encode_qa_examples
+
+        samples = self._samples(10)
+        pools = [["HARDMARKER alpha beta"] for _ in samples]
+        data, _ = encode_qa_examples(
+            samples, seq_len=512, seed=0, distractor_texts=None,
+            min_distractors=2, max_distractors=2,
+            hard_distractors=pools, hard_fraction=1.0,
+        )
+        hit = 0
+        for row in data:
+            text = bytes(b for b in row.tolist() if 0 < b < 256).decode(
+                "utf-8", errors="ignore"
+            )
+            hit += "HARDMARKER" in text
+        assert hit == len(samples)
+
+    def test_default_stream_unchanged(self):
+        # New knobs at defaults must reproduce the round-2 encoding
+        # byte-for-byte (checkpoints were trained on that stream).
+        from rag_uq_tpu.llm.train import encode_qa_examples
+
+        samples = self._samples(15)
+        d = ["noise " * 10] * 5
+        a1, m1 = encode_qa_examples(samples, 256, seed=3, distractor_texts=d)
+        a2, m2 = encode_qa_examples(samples, 256, seed=3, distractor_texts=d,
+                                    min_distractors=0, max_distractors=2,
+                                    hard_distractors=None, fit_budget=False)
+        assert (a1 == a2).all() and (m1 == m2).all()

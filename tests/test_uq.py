@@ -313,3 +313,53 @@ class TestPlattScaling:
         xs = np.linspace(0, 1, 11)
         ys = apply_platt(xs, a, b)
         assert np.all(np.diff(ys) >= 0)  # A >= 0: higher conf -> higher p
+
+
+class TestIsotonicAndLogistic:
+    """Round-3 calibrators (uq/scaling.py): PAV isotonic + multi-feature
+    logistic."""
+
+    def test_isotonic_monotone_and_interpolates(self):
+        from rag_uq_tpu.uq.scaling import apply_isotonic, fit_isotonic
+
+        rng = np.random.default_rng(0)
+        s = rng.uniform(0, 1, 400)
+        y = rng.uniform(0, 1, 400) < (0.2 + 0.6 * s)  # monotone truth
+        xs, gs = fit_isotonic(s, y)
+        assert np.all(np.diff(gs) >= -1e-12)  # non-decreasing fit
+        out = apply_isotonic([0.0, 0.5, 1.0], xs, gs)
+        assert out[0] <= out[1] <= out[2]
+        assert np.all((out >= 0) & (out <= 1))
+
+    def test_isotonic_recovers_step(self):
+        from rag_uq_tpu.uq.scaling import apply_isotonic, fit_isotonic
+
+        s = np.concatenate([np.linspace(0, 0.4, 50), np.linspace(0.6, 1, 50)])
+        y = np.concatenate([np.zeros(50), np.ones(50)])
+        xs, gs = fit_isotonic(s, y)
+        out = apply_isotonic([0.2, 0.8], xs, gs)
+        assert out[0] < 0.1 and out[1] > 0.9
+
+    def test_logistic_uses_informative_feature(self):
+        from rag_uq_tpu.uq.scaling import apply_logistic, fit_logistic
+
+        rng = np.random.default_rng(1)
+        n = 600
+        # Feature 0 is noise; feature 1 drives correctness.
+        x = np.stack([rng.normal(size=n), rng.normal(size=n)], axis=1)
+        y = rng.uniform(size=n) < 1 / (1 + np.exp(-3 * x[:, 1]))
+        w = fit_logistic(x[:400], y[:400])
+        p = apply_logistic(x[400:], w)
+        brier = float(np.mean((p - y[400:]) ** 2))
+        # Better than the best constant predictor.
+        base = float(np.mean((y[400:].mean() - y[400:]) ** 2))
+        assert brier < base - 0.02
+        assert abs(w[1]) > abs(w[0])  # informative feature dominates
+
+    def test_logistic_one_sided_labels_finite(self):
+        from rag_uq_tpu.uq.scaling import apply_logistic, fit_logistic
+
+        x = np.random.default_rng(2).normal(size=(20, 3))
+        w = fit_logistic(x, np.ones(20, dtype=bool))
+        p = apply_logistic(x, w)
+        assert np.all(np.isfinite(p)) and np.all((p > 0) & (p < 1))
