@@ -138,7 +138,10 @@ def main() -> None:
     )
 
     # Query batches: dense side = source doc vector + noise; sparse side =
-    # 6 terms sampled from the source doc.
+    # 6 terms sampled from the source doc. BM25 high-tier active-term
+    # compaction is on (round 3: the one-hot matmul over all 8192 impact
+    # rows was 28.7 ms of the 74.6 ms batch; the batch-active submatrix
+    # does the same math 3.5x faster — docs/kernels.md).
     def make_batch(seed: int):
         r = np.random.default_rng(seed)
         src = r.integers(0, N_DOCS, size=BATCH)
@@ -148,15 +151,34 @@ def main() -> None:
         q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
         terms = docs[src][:, :: DOC_LEN // 6][:, :6]
         qtexts = [" ".join(map(str, row)) for row in terms]
-        qterms = encode_for_fused(bm25, qtexts)
+        qterms = encode_for_fused(bm25, qtexts, active_compaction=True)
         return src, q, qterms
 
+    def pad_active(batches):
+        """Pad every batch's active_rows to the max pow2 bucket so all timed
+        batches share ONE compiled program (no mid-loop recompile)."""
+        cap_b = max(int(b[2]["active_rows"].shape[0]) for b in batches)
+        for _, _, qt in batches:
+            a = np.asarray(qt["active_rows"])
+            if a.shape[0] < cap_b:
+                qt["active_rows"] = jnp.asarray(
+                    np.pad(a, (0, cap_b - a.shape[0]))
+                )
+        return batches
+
+    # Build warmup + timed batches together and pad the active-rows bucket
+    # jointly, so the warmup compiles the exact program the timed loop runs.
+    all_batches = pad_active(
+        [make_batch(12345)] + [make_batch(s) for s in range(N_BATCHES)]
+    )
+    (src, q, qterms), batches = all_batches[0], all_batches[1:]
+
     # Warmup / compile.
-    src, q, qterms = make_batch(12345)
     t0 = time.time()
     vals, pos = fused(state, q, qterms, router_vars)
     np.asarray(vals)
-    log(f"compile+first batch in {time.time()-t0:.1f}s")
+    log(f"compile+first batch in {time.time()-t0:.1f}s "
+        f"(active bucket {qterms['active_rows'].shape[0]})")
 
     # Quality sanity: dense-noisy-copy recall@10 of the source doc.
     hit = (np.asarray(pos) == src[:, None]).any(axis=1).mean()
@@ -186,10 +208,9 @@ def main() -> None:
     ])
     log(f"bm25 fast-vs-exact top-{K} agreement: {overlap:.3f}")
 
-    # Pre-build all batches outside the timed loop (host work excluded: the
-    # metric is device query throughput; host tokenization is benchmarked
-    # separately below).
-    batches = [make_batch(s) for s in range(N_BATCHES)]
+    # (Batches were pre-built above, outside the timed loop: host work is
+    # excluded — the metric is device query throughput; host tokenization +
+    # the compaction's np.unique are benchmarked separately below.)
     jax.block_until_ready([b[1] for b in batches])
 
     t0 = time.time()
@@ -204,9 +225,13 @@ def main() -> None:
     qps = BATCH * N_BATCHES / dt
     log(f"timed: {N_BATCHES} batches x {BATCH} queries in {dt:.3f}s")
 
-    # Host-side query prep throughput (tokenize+hash), for context.
+    # Host-side query prep throughput (tokenize+hash+active compaction),
+    # for context.
     t0 = time.time()
-    _ = bm25.encode_queries([" ".join(map(str, docs[i][:6])) for i in range(2000)])
+    _ = encode_for_fused(
+        bm25, [" ".join(map(str, docs[i][:6])) for i in range(2000)],
+        active_compaction=True,
+    )
     host_qps = 2000 / (time.time() - t0)
     log(f"host query-encode throughput: {host_qps:.0f} q/s")
 

@@ -79,6 +79,7 @@ def run_level(service, queries: List[str], concurrency: int,
                 continue
             lats[ci].append((time.time() - t0) * 1000.0)
 
+    service.reset_stats()
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(concurrency)]
     t0 = time.time()
@@ -87,14 +88,25 @@ def run_level(service, queries: List[str], concurrency: int,
     for t in threads:
         t.join()
     wall = time.time() - t0
+    stats = service.reset_stats()
     flat = [x for row in lats for x in row]
-    return {
+    out = {
         "concurrency": concurrency,
         "requests": len(flat),
         "errors": sum(errors),
         "qps": round(len(flat) / wall, 1),
         **_percentiles(flat),
     }
+    if stats["batches"]:
+        # Device-vs-relay split: mean synchronous device-call time per batch
+        # (dominated by relay RTT on this platform) and mean formed batch.
+        out["device_batches"] = stats["batches"]
+        out["mean_batch_size"] = round(stats["queries"] / stats["batches"], 1)
+        out["mean_call_ms"] = round(
+            1000.0 * stats["call_seconds"] / stats["batches"], 1
+        )
+        out["call_concurrency"] = round(stats["call_seconds"] / wall, 2)
+    return out
 
 
 def main(argv=None) -> None:

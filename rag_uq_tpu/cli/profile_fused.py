@@ -224,6 +224,47 @@ def run_profile(
     )
 
     @jax.jit
+    def slices_only(low_ranges, post_packed, qtids_):
+        # Low-tier dynamic slices + masking WITHOUT the scatter: isolates
+        # gather cost from scatter cost.
+        pcap = post_packed.shape[1]
+        valid = qtids_ >= 0
+        safe = jnp.where(valid, qtids_, 0)
+        start = jnp.where(valid, low_ranges[0, safe], 0)
+        end = jnp.where(valid, low_ranges[1, safe], 0)
+        safe_start = jnp.minimum(start, max(pcap - beam, 0))
+        sl = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(post_packed, (0, s), (2, beam))
+        ))(safe_start)
+        w = jax.lax.bitcast_convert_type(sl[:, :, 1, :], jnp.float32)
+        off = jnp.arange(beam, dtype=jnp.int32)[None, None, :]
+        pos = safe_start[:, :, None] + off
+        ok = (pos >= start[:, :, None]) & (pos < end[:, :, None])
+        return jnp.sum(jnp.where(ok, w, 0.0))
+
+    stages["bm25_low_slices_only"] = time_program(
+        slices_only, state["low_ranges"], state["post_packed"], qtids,
+        reps=reps,
+    )
+
+    # Scatter of PRECOMPUTED (docs, w) into zeros: isolates raw scatter cost.
+    kp0 = jax.random.PRNGKey(3)
+    pre_docs = jax.random.randint(
+        kp0, (batch, 32 * beam), 0, cap, dtype=jnp.int32
+    )
+    pre_w = jax.random.uniform(kp0, (batch, 32 * beam), dtype=jnp.float32)
+
+    @jax.jit
+    def scatter_pre(d_, w_):
+        zeros = jnp.zeros((batch, cap), dtype=jnp.float32)
+        b_ix = jnp.arange(batch, dtype=jnp.int32)[:, None]
+        return jnp.sum(zeros.at[b_ix, d_].add(w_))
+
+    stages["bm25_scatter_precomputed_only"] = time_program(
+        scatter_pre, pre_docs, pre_w, reps=reps
+    )
+
+    @jax.jit
     def bm25_full(low_ranges, post_packed, term_row, impact, impact_scale,
                   qtids_):
         return bm25_ops.topk_lowscatter(
@@ -235,6 +276,108 @@ def run_profile(
         bm25_full, state["low_ranges"], state["post_packed"],
         state["term_row"], state["impact"], state["impact_scale"], qtids,
         reps=reps,
+    )
+
+    # Active-term compaction (round 3): host-computed batch-active rows.
+    qterms_c = encode_for_fused(bm25, [
+        " ".join(map(str, docs[int(i)][:: doc_len // 6][:6]))
+        for i in np.random.default_rng(12345).integers(0, n_docs, size=batch)
+    ], active_compaction=True)
+    results["active_rows_bucket"] = int(qterms_c["active_rows"].shape[0])
+
+    @jax.jit
+    def high_compact(term_row, impact, impact_scale, qtids_, act, rc):
+        sub = impact[act]
+        dt = jnp.bfloat16 if impact.dtype == jnp.int8 else impact.dtype
+        onehot = jnp.sum(
+            jax.nn.one_hot(rc, act.shape[0], dtype=dt), axis=1
+        )
+        onehot = onehot * impact_scale[act].astype(dt)[None, :]
+        return jnp.sum(jnp.dot(onehot, sub.astype(dt),
+                               preferred_element_type=jnp.float32))
+
+    stages["bm25_high_tier_matmul_compact"] = time_program(
+        high_compact, state["term_row"], state["impact"],
+        state["impact_scale"], qterms_c["qtids_base"],
+        qterms_c["active_rows"], qterms_c["rows_compact"], reps=reps,
+    )
+
+    @jax.jit
+    def bm25_full_compact(low_ranges, post_packed, term_row, impact,
+                          impact_scale, qtids_, act, rc):
+        return bm25_ops.topk_lowscatter(
+            low_ranges, post_packed, term_row, impact, qtids_, pool,
+            beam=beam, approx=True, impact_scale=impact_scale,
+            active_rows=act, rows_compact=rc,
+        )
+
+    stages["bm25_scatter_full_compact"] = time_program(
+        bm25_full_compact, state["low_ranges"], state["post_packed"],
+        state["term_row"], state["impact"], state["impact_scale"],
+        qterms_c["qtids_base"], qterms_c["active_rows"],
+        qterms_c["rows_compact"], reps=reps,
+    )
+
+    # Padded low-tier blocks (round 3): one row gather replaces B*Lq
+    # dynamic slices.
+    dev = bm25._sync()
+    if "low_blocks" in dev:
+        results["low_blocks_shape"] = list(dev["low_blocks"].shape)
+
+        @jax.jit
+        def low_blocks_gather_scatter(low_blocks, low_row, qtids_):
+            valid = qtids_ >= 0
+            safe = jnp.where(valid, qtids_, 0)
+            pad_row = low_blocks.shape[0] - 1
+            brows = jnp.where(valid, low_row[safe], pad_row)
+            sl = low_blocks[brows]
+            nq = qtids_.shape[0]
+            docs_ = sl[:, :, 0, :].reshape(nq, -1)
+            w = jax.lax.bitcast_convert_type(
+                sl[:, :, 1, :], jnp.float32
+            ).reshape(nq, -1)
+            zeros = jnp.zeros((nq, cap), dtype=jnp.float32)
+            b_ix = jnp.arange(nq, dtype=jnp.int32)[:, None]
+            return jnp.sum(zeros.at[b_ix, docs_].add(w))
+
+        stages["bm25_low_blocks_plus_scatter"] = time_program(
+            low_blocks_gather_scatter, dev["low_blocks"], dev["low_row"],
+            qtids, reps=reps,
+        )
+
+        @jax.jit
+        def bm25_full_blocks_compact(low_ranges, post_packed, term_row,
+                                     impact, impact_scale, qtids_, act, rc,
+                                     lb, lr):
+            return bm25_ops.topk_lowscatter(
+                low_ranges, post_packed, term_row, impact, qtids_, pool,
+                beam=beam, approx=True, impact_scale=impact_scale,
+                active_rows=act, rows_compact=rc,
+                low_blocks=lb, low_row=lr,
+            )
+
+        stages["bm25_scatter_full_blocks_compact"] = time_program(
+            bm25_full_blocks_compact, state["low_ranges"],
+            state["post_packed"], state["term_row"], state["impact"],
+            state["impact_scale"], qterms_c["qtids_base"],
+            qterms_c["active_rows"], qterms_c["rows_compact"],
+            dev["low_blocks"], dev["low_row"], reps=reps,
+        )
+
+    fused_c = make_fused_hybrid_query(
+        router_module=router.module, k=k, pool=pool, block=block, beam=beam,
+        dense_mode="single_approx", sparse_mode="scatter",
+    )
+    state_b = dict(state)
+    if "low_blocks" in dev:
+        state_b["low_blocks"] = dev["low_blocks"]
+        state_b["low_row"] = dev["low_row"]
+    qc_full = dict(qterms_c)
+    stages["full_fused_scatter_compact_blocks"] = time_program(
+        lambda: fused_c(state_b, q, qc_full, router_vars), reps=reps
+    )
+    results["qps_at_batch_compact_blocks"] = round(
+        batch / stages["full_fused_scatter_compact_blocks"], 1
     )
 
     # approx_max_k in isolation over a [B, cap] matrix.

@@ -63,6 +63,7 @@ class QueryService:
         tick_ms: float = 2.0,
         sparse_mode: str = "scatter",
         retrieval_pool_size: int = 50,
+        dispatch_workers: int = 4,
     ):
         self.retriever = retriever
         self.router = router
@@ -76,18 +77,51 @@ class QueryService:
         self.max_k = 2 * retrieval_pool_size
         self._queue: "queue.Queue[_Pending]" = queue.Queue()
         self._stop = threading.Event()
+        # Pipelined dispatch (round 3, VERDICT r2 next #8): on the relayed
+        # TPU a synchronous device call costs ~70-80 ms of RELAY round trip
+        # around ~5-10 ms of device time, so a single serial worker caps
+        # closed-loop throughput at concurrency/RTT. The aggregator forms
+        # batches and N dispatcher threads keep that many programs in
+        # flight — device execution stays in-order, the relay latency
+        # overlaps. Ingest serializes against all in-flight searches (see
+        # _loop), preserving ingest-then-search visibility order.
+        self._work: "queue.Queue[List[_Pending]]" = queue.Queue(
+            maxsize=max(2 * dispatch_workers, 2)
+        )
+        self._inflight = 0
+        self._inflight_cv = threading.Condition()
+        # Aggregate counters (read/reset by the serving bench): batches
+        # formed, queries served, and seconds spent inside the synchronous
+        # device call — the device-vs-relay split evidence.
+        self.stats = {"batches": 0, "queries": 0, "call_seconds": 0.0}
+        self._stats_lock = threading.Lock()
+        self._dispatchers = [
+            threading.Thread(target=self._dispatch_loop, daemon=True)
+            for _ in range(max(dispatch_workers, 1))
+        ]
+        for t in self._dispatchers:
+            t.start()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
     def close(self) -> None:
         self._stop.set()
         self._worker.join(timeout=5)
+        for t in self._dispatchers:
+            t.join(timeout=5)
         # Release any requests still queued so callers never hang.
+        pending: List[_Pending] = []
         while True:
             try:
-                req = self._queue.get_nowait()
+                pending.append(self._queue.get_nowait())
             except queue.Empty:
                 break
+        while True:
+            try:
+                pending.extend(self._work.get_nowait())
+            except queue.Empty:
+                break
+        for req in pending:
             req.result = {} if req.documents is not None else [
                 [] for _ in req.queries
             ]
@@ -133,7 +167,17 @@ class QueryService:
                 except queue.Empty:
                     continue
             if first.documents is not None:
+                # Barrier: wait for every in-flight search, mutate, then
+                # rebuild the device state on THIS thread before dispatchers
+                # resume — no search can observe a half-built sync.
+                with self._inflight_cv:
+                    while self._inflight > 0:
+                        self._inflight_cv.wait(timeout=1.0)
                 self._run_ingest(first)
+                try:
+                    self.retriever._fused_state()
+                except Exception:  # pragma: no cover - next search resyncs
+                    pass
                 continue
             batch = [first]
             n = len(first.queries)
@@ -151,10 +195,25 @@ class QueryService:
                     n += len(nxt.queries)
                 except queue.Empty:
                     deadline_passed = True
-            self._run_batch(batch)
+            with self._inflight_cv:
+                self._inflight += 1
+            self._work.put(batch)
         if carry is not None:
             carry.result = {}
             carry.event.set()
+
+    def _dispatch_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                batch = self._work.get(timeout=self.tick_s)
+            except queue.Empty:
+                continue
+            try:
+                self._run_batch(batch)
+            finally:
+                with self._inflight_cv:
+                    self._inflight -= 1
+                    self._inflight_cv.notify_all()
 
     def _run_ingest(self, req: _Pending) -> None:
         try:
@@ -165,16 +224,29 @@ class QueryService:
             req.result = {}
         req.event.set()
 
+    def reset_stats(self) -> Dict[str, float]:
+        with self._stats_lock:
+            out = dict(self.stats)
+            self.stats = {"batches": 0, "queries": 0, "call_seconds": 0.0}
+        return out
+
     def _run_batch(self, batch: List[_Pending]) -> None:
+        import time as _time
+
         all_queries: List[str] = []
         for req in batch:
             all_queries.extend(req.queries)
         k = max(req.k for req in batch)
         try:
+            t0 = _time.time()
             vals, pos = self.retriever.hybrid_search_batch(
                 all_queries, top_k=k, router=self.router,
                 sparse_mode=self.sparse_mode,
             )
+            with self._stats_lock:
+                self.stats["batches"] += 1
+                self.stats["queries"] += len(all_queries)
+                self.stats["call_seconds"] += _time.time() - t0
             store = self.retriever.documents
             results: List[List[Dict[str, Any]]] = []
             for row_v, row_p in zip(vals, pos):

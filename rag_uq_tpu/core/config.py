@@ -52,6 +52,13 @@ class BM25Config:
     # buildable on one chip; sharded deployments split the budget per shard).
     impact_budget_bytes: int = 2 << 30
     impact_dtype: str = "bfloat16"  # dense-tier impact matrix storage
+    # Byte budget for the padded low-tier posting-block table
+    # [n_low_terms, 2, beam] (built at sync when it fits): turns the low
+    # tier's per-(query,term) dynamic_slice fetches — measured 25 ms/batch
+    # at bench shape, the platform's ~1us scattered-fetch floor — into one
+    # row gather. Beyond the budget (wide-beam budget-capped corpora) the
+    # packed-slice layout is used instead.
+    low_block_budget_bytes: int = 256 << 20
     # Approx-path low-tier candidate-pool truncation (ops/bm25.topk_twotier):
     # before the dense-tier gather, keep only the `lsel` largest low-tier
     # segment sums per query. Only applies together with approx top-k (the

@@ -411,6 +411,45 @@ class BM25Index:
         packed[0, :n_post] = doc_s.astype(np.int32)
         packed[1, :n_post] = w_s.astype(np.float32).view(np.int32)
 
+        # Padded per-term low-tier blocks [lcap, 2, beam]: each low-tier
+        # term's whole posting list in one row, padding entries (doc 0,
+        # weight +0.0) are scatter-neutral. Fetching a query's low tier is
+        # then ONE row gather instead of Lq dynamic slices — the measured
+        # 25 ms/batch slice cost at bench shape (docs/kernels.md) drops to
+        # gather bandwidth. Built only within the byte budget (wide-beam
+        # budget-capped corpora keep the packed-slice layout). Row lcap-1
+        # is all-padding; unknown/dense-tier terms map there.
+        beam_cap = int(_next_pow2(thresh, floor=8))
+        low_mask = (~is_dense_term[:vsize]) & (df > 0) if vsize else (
+            np.zeros(0, dtype=bool)
+        )
+        low_terms = np.nonzero(low_mask)[0]
+        n_low = int(low_terms.shape[0])
+        block_bytes = (n_low + 1) * 2 * beam_cap * 4
+        low_blocks = low_row = None
+        if block_bytes <= self.config.low_block_budget_bytes:
+            lcap = _next_pow2(n_low + 1, floor=8)
+            low_blocks = np.zeros((lcap, 2, beam_cap), dtype=np.int32)
+            # Padding entries point OUT OF BOUNDS (doc = ncap): the scatter
+            # drops them (mode="drop") instead of accumulating +0.0 into doc
+            # 0 — measured ~20% faster on the padding-heavy scatter.
+            low_blocks[:, 0, :] = ncap
+            low_row = np.full(vcap, lcap - 1, dtype=np.int32)
+            low_row[low_terms] = np.arange(n_low, dtype=np.int32)
+            if n_low:
+                starts = indptr_p[low_terms].astype(np.int64)
+                lens = (indptr_p[low_terms + 1] - indptr_p[low_terms]).astype(
+                    np.int64
+                )
+                off = np.arange(beam_cap, dtype=np.int64)
+                idx = np.clip(starts[:, None] + off[None, :], 0,
+                              max(n_post - 1, 0))
+                ok = off[None, :] < lens[:, None]
+                low_blocks[:n_low, 0] = np.where(ok, doc_s[idx], ncap)
+                low_blocks[:n_low, 1] = np.where(
+                    ok, w_s[idx].astype(np.float32).view(np.int32), 0
+                )
+
         self._term_row_host = term_row
         self._device = {
             "indptr": jnp.asarray(indptr_p),
@@ -421,11 +460,14 @@ class BM25Index:
             "term_row": jnp.asarray(term_row),
             "impact": jnp.asarray(impact),
             "impact_scale": jnp.asarray(impact_scale),
-            "beam": int(_next_pow2(thresh, floor=8)),
+            "beam": beam_cap,
             "nonneg": bool(w_s.min() >= 0) if n_post else True,
             "max_df": int(_next_pow2(int(df.max()) if vsize else 1, floor=8)),
             "n_docs_cap": int(ncap),
         }
+        if low_blocks is not None:
+            self._device["low_blocks"] = jnp.asarray(low_blocks)
+            self._device["low_row"] = jnp.asarray(low_row)
         self._dirty = False
         # Base snapshot for main+delta incremental sync: the frozen global
         # statistics let later delta postings be scored consistently with

@@ -307,6 +307,10 @@ def topk_lowscatter(
     approx: bool = False,
     impact_scale: Optional[jax.Array] = None,  # [T_cap] per-row int8 scales
     recall_target: float = 0.95,  # approx_max_k per-row recall (approx=True)
+    active_rows: Optional[jax.Array] = None,  # [Ta_cap] batch-active rows
+    rows_compact: Optional[jax.Array] = None,  # [B, Lq] compact slot or -1
+    low_blocks: Optional[jax.Array] = None,  # [Lcap, 2, beam] padded blocks
+    low_row: Optional[jax.Array] = None,  # [Vcap] -> block row (pad = last)
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-tier BM25 top-k via low-tier scatter-add (no sort, no merge).
 
@@ -322,6 +326,21 @@ def topk_lowscatter(
     the full totals, so low-tier candidates share its ~0.95/row recall
     (measured top-10 agreement vs exact: 0.966 vs twotier's 0.975 on the
     bench corpus). Callers apply the positive-scores-only contract.
+
+    Round-3 layout options, both from the measured stage breakdown
+    (docs/kernels.md):
+    - Active-term compaction: with `active_rows` (the batch's active
+      dense-tier row ids, 0-padded, host-computed by
+      retrieval/fused.encode_for_fused) and `rows_compact` (qtids remapped
+      to compact slots, -1 elsewhere), the high tier runs on the gathered
+      [Ta_cap, N] submatrix, with the one-hot built by a REAL scatter into
+      a [B, Ta] buffer so XLA emits an MXU matmul instead of rewriting the
+      one-hot pattern into per-slot row gathers (whose cost is B*Lq rows
+      regardless of T).
+    - Padded low-tier blocks: with `low_blocks`/`low_row` (index sync
+      builds them under `low_block_budget_bytes`), the low tier is ONE row
+      gather of [B, Lq] block rows instead of B*Lq dynamic slices
+      (measured 25 ms/batch of pure slice overhead at bench shape).
     """
     ncap = impact.shape[1]
     tcap = impact.shape[0]
@@ -329,34 +348,74 @@ def topk_lowscatter(
     nq = qtids.shape[0]
     valid_q = qtids >= 0
     safe_q = jnp.where(valid_q, qtids, 0)
-
-    # High tier: identical to topk_twotier (XLA rewrites the one-hot matmul
-    # into per-slot row gathers, so this is HBM-bandwidth bound, not MXU).
-    rows = jnp.where(valid_q, term_row[safe_q], -1)
-    onehot_dtype = jnp.bfloat16 if impact.dtype == jnp.int8 else impact.dtype
-    onehot = jnp.sum(jax.nn.one_hot(rows, tcap, dtype=onehot_dtype), axis=1)
-    if impact_scale is not None:
-        onehot = onehot * impact_scale.astype(onehot_dtype)[None, :]
-    high = jnp.dot(
-        onehot, impact.astype(onehot_dtype), preferred_element_type=jnp.float32
-    )  # [B, N]
-
-    # Low tier: raw posting slices, masked, scattered into the totals.
-    start = jnp.where(valid_q, low_ranges[0, safe_q], 0)
-    end = jnp.where(valid_q, low_ranges[1, safe_q], 0)
-    safe_start = jnp.minimum(start, max(pcap - beam, 0))
-    sl = jax.vmap(jax.vmap(
-        lambda s: jax.lax.dynamic_slice(post_packed, (0, s), (2, beam))
-    ))(safe_start)  # [B, Lq, 2, beam]
-    docs = sl[:, :, 0, :]
-    w = jax.lax.bitcast_convert_type(sl[:, :, 1, :], jnp.float32)
-    off = jnp.arange(beam, dtype=jnp.int32)[None, None, :]
-    pos = safe_start[:, :, None] + off
-    ok = (pos >= start[:, :, None]) & (pos < end[:, :, None])
-    docs = jnp.where(ok, docs, 0).reshape(nq, -1)  # masked entries add 0.0
-    w = jnp.where(ok, w, 0.0).reshape(nq, -1)
     b_ix = jnp.arange(nq, dtype=jnp.int32)[:, None]
-    total = high.at[b_ix, docs].add(w)
+
+    # High tier: one-hot x impact matmul, over the batch-active submatrix
+    # when compaction inputs are provided.
+    onehot_dtype = jnp.bfloat16 if impact.dtype == jnp.int8 else impact.dtype
+    if active_rows is not None and rows_compact is not None:
+        t_active = active_rows.shape[0]
+        sub_impact = impact[active_rows]  # [Ta_cap, N] gather
+        scale_slot = (
+            impact_scale[active_rows][jnp.maximum(rows_compact, 0)]
+            if impact_scale is not None
+            else jnp.ones(rows_compact.shape, jnp.float32)
+        )
+        # Scatter-built one-hot (not jax.nn.one_hot + sum): a materialized
+        # [B, Ta] operand forces a true MXU matmul. Dead slots use an
+        # out-of-bounds-HIGH sentinel (t_active) so mode="drop" discards
+        # them — a -1 sentinel would WRAP to the last column (jnp.at
+        # applies NumPy negative-index semantics before the OOB check).
+        rc = jnp.where(rows_compact >= 0, rows_compact, t_active)
+        onehot = jnp.zeros((nq, t_active), dtype=onehot_dtype).at[
+            b_ix, rc
+        ].add(scale_slot.astype(onehot_dtype), mode="drop")
+        high = jnp.dot(
+            onehot, sub_impact.astype(onehot_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, N]
+    else:
+        rows = jnp.where(valid_q, term_row[safe_q], -1)
+        onehot = jnp.sum(
+            jax.nn.one_hot(rows, tcap, dtype=onehot_dtype), axis=1
+        )
+        if impact_scale is not None:
+            onehot = onehot * impact_scale.astype(onehot_dtype)[None, :]
+        high = jnp.dot(
+            onehot, impact.astype(onehot_dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, N]
+
+    # Low tier: posting entries scattered into the totals. Padded-block
+    # layout (one row gather) when available; else per-term dynamic slices.
+    if low_blocks is not None and low_row is not None:
+        pad_row = low_blocks.shape[0] - 1  # all-pad row
+        # low_row maps dense-tier/unseen terms to the pad row already;
+        # padding QUERY slots (qtids -1) must route there explicitly
+        # (safe_q turned them into term 0).
+        brows = jnp.where(valid_q, low_row[safe_q], pad_row)
+        sl = low_blocks[brows]  # [B, Lq, 2, beam] single gather
+        docs = sl[:, :, 0, :].reshape(nq, -1)
+        w = jax.lax.bitcast_convert_type(
+            sl[:, :, 1, :], jnp.float32
+        ).reshape(nq, -1)  # padding entries: doc=ncap (OOB), dropped below
+    else:
+        start = jnp.where(valid_q, low_ranges[0, safe_q], 0)
+        end = jnp.where(valid_q, low_ranges[1, safe_q], 0)
+        safe_start = jnp.minimum(start, max(pcap - beam, 0))
+        sl = jax.vmap(jax.vmap(
+            lambda s: jax.lax.dynamic_slice(post_packed, (0, s), (2, beam))
+        ))(safe_start)  # [B, Lq, 2, beam]
+        docs = sl[:, :, 0, :]
+        w = jax.lax.bitcast_convert_type(sl[:, :, 1, :], jnp.float32)
+        off = jnp.arange(beam, dtype=jnp.int32)[None, None, :]
+        pos = safe_start[:, :, None] + off
+        ok = (pos >= start[:, :, None]) & (pos < end[:, :, None])
+        docs = jnp.where(ok, docs, 0).reshape(nq, -1)  # masked -> add 0.0
+        w = jnp.where(ok, w, 0.0).reshape(nq, -1)
+    # mode="drop" discards the block layout's OOB padding entries; the
+    # slice layout's padding (doc 0, +0.0) is in-bounds and adds zero.
+    total = high.at[b_ix, docs].add(w, mode="drop")
 
     if approx:
         vals, idx = jax.lax.approx_max_k(total, k, recall_target=recall_target)

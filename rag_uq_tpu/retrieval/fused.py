@@ -185,6 +185,10 @@ def make_fused_hybrid_query(
                     qterms["qtids_base"], pool, beam=beam, approx=approx_topk,
                     impact_scale=state["impact_scale"],
                     recall_target=sparse_recall_target,
+                    active_rows=qterms.get("active_rows"),
+                    rows_compact=qterms.get("rows_compact"),
+                    low_blocks=state.get("low_blocks"),
+                    low_row=state.get("low_row"),
                 )
             else:
                 bvals, bidx = bm25_ops.topk_twotier(
@@ -222,11 +226,21 @@ def make_fused_hybrid_query(
     return fused
 
 
-def encode_for_fused(bm25_index, queries) -> Dict[str, jax.Array]:
+def encode_for_fused(
+    bm25_index, queries, active_compaction: bool = False
+) -> Dict[str, jax.Array]:
     """Encode a query batch into the fused program's term inputs.
 
     qtids_base clamps term ids beyond the synced base vocabulary capacity
     (terms first seen after the base sync exist only in the delta).
+
+    With `active_compaction`, also emits the BM25 high-tier active-term
+    compaction inputs (ops/bm25.topk_lowscatter): `active_rows` — the
+    pow2-bucketed, 0-padded list of dense-tier impact rows any query in the
+    batch touches — and `rows_compact` — qtids remapped to compact slots
+    (-1 for padding/low-tier terms). Host cost is one np.unique over
+    [B*Lq] ints; the device matmul then runs on the [Ta, N] submatrix
+    instead of all T_cap rows (measured 3.5x on the high tier).
     """
     import jax.numpy as jnp
 
@@ -237,10 +251,33 @@ def encode_for_fused(bm25_index, queries) -> Dict[str, jax.Array]:
         qtids_base = np.where(qtids < base_vcap, qtids, -1)
     else:
         qtids_base = qtids
-    return {
+    out = {
         "qtids": jnp.asarray(qtids),
         "qtids_base": jnp.asarray(qtids_base),
     }
+    if active_compaction and base_dev is not None:
+        host_term_row = bm25_index._term_row_host
+        safe = np.where(qtids_base >= 0, qtids_base, 0)
+        rows = np.where(
+            qtids_base >= 0, host_term_row[safe], -1
+        )  # [B, Lq] impact row or -1
+        uniq = np.unique(rows[rows >= 0])
+        ta_cap = int(_next_pow2_host(max(uniq.shape[0], 1), floor=64))
+        active = np.zeros(ta_cap, dtype=np.int32)
+        active[: uniq.shape[0]] = uniq
+        remap = np.full(base_dev["impact"].shape[0], -1, dtype=np.int32)
+        remap[uniq] = np.arange(uniq.shape[0], dtype=np.int32)
+        rows_compact = np.where(rows >= 0, remap[np.maximum(rows, 0)], -1)
+        out["active_rows"] = jnp.asarray(active)
+        out["rows_compact"] = jnp.asarray(rows_compact)
+    return out
+
+
+def _next_pow2_host(n: int, floor: int = 1) -> int:
+    p = floor
+    while p < n:
+        p <<= 1
+    return p
 
 
 def build_index_state(
@@ -268,6 +305,9 @@ def build_index_state(
         "impact": dev["impact"],
         "impact_scale": dev["impact_scale"],
     }
+    if "low_blocks" in dev:
+        state["low_blocks"] = dev["low_blocks"]
+        state["low_row"] = dev["low_row"]
     if delta is not None:
         state.update(
             delta_indptr=delta["indptr"],

@@ -206,7 +206,10 @@ class HybridRetriever:
             )
             self._fused_fns[key] = fused
         q_vecs = self.dense_index.embed_queries(queries)
-        qterms = encode_for_fused(self.bm25_index, queries)
+        qterms = encode_for_fused(
+            self.bm25_index, queries,
+            active_compaction=(sparse_mode == "scatter"),
+        )
         router_vars = (
             {"params": router.params, "stats": router.stats}
             if router is not None

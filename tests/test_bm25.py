@@ -468,3 +468,62 @@ class TestDeltaSync:
         fv, fi = full.search_batch(["w1"], top_k=3, exact=True)
         np.testing.assert_allclose(ev, fv, rtol=1e-6)
         np.testing.assert_array_equal(ei, fi)
+
+
+class TestActiveCompaction:
+    """Batch-active-term compaction of the high-tier matmul
+    (ops/bm25.topk_lowscatter active_rows/rows_compact; encode_for_fused
+    emits them). Same math over the same nonzero terms — results must match
+    the uncompacted op."""
+
+    def test_compact_matches_full(self, corpus):
+        import jax.numpy as jnp
+
+        from rag_uq_tpu.core.config import BM25Config
+        from rag_uq_tpu.ops import bm25 as bm25_ops
+        from rag_uq_tpu.retrieval.fused import encode_for_fused
+
+        idx = BM25Index(config=BM25Config(impact_dtype="float32",
+                                          dense_tier_threshold=4))
+        idx.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        dev = idx._sync()
+        queries = ["w1 w2 the", "the is a", "w10", "w5 w5 w5",
+                   "unknownterm w3"]
+        qterms = encode_for_fused(idx, queries, active_compaction=True)
+        assert "active_rows" in qterms and "rows_compact" in qterms
+        # Active list covers exactly the dense-tier rows the batch touches.
+        rows_c = np.asarray(qterms["rows_compact"])
+        n_active = int((rows_c.max() + 1)) if (rows_c >= 0).any() else 0
+        assert n_active <= qterms["active_rows"].shape[0]
+
+        full_v, full_i = bm25_ops.topk_lowscatter(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], qterms["qtids_base"], 5, beam=dev["beam"],
+            approx=False, impact_scale=dev["impact_scale"],
+        )
+        comp_v, comp_i = bm25_ops.topk_lowscatter(
+            dev["low_ranges"], dev["post_packed"], dev["term_row"],
+            dev["impact"], qterms["qtids_base"], 5, beam=dev["beam"],
+            approx=False, impact_scale=dev["impact_scale"],
+            active_rows=qterms["active_rows"],
+            rows_compact=qterms["rows_compact"],
+        )
+        np.testing.assert_allclose(
+            np.asarray(comp_v), np.asarray(full_v), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(comp_i), np.asarray(full_i))
+
+    def test_fused_batch_path_uses_compaction_and_stays_exact(self, corpus):
+        from rag_uq_tpu.core.config import BM25Config
+        from rag_uq_tpu.retrieval.hybrid import HybridRetriever
+
+        r = HybridRetriever(bm25_config=BM25Config(
+            impact_dtype="float32", dense_tier_threshold=4))
+        r.add_documents([Document(str(i), t) for i, t in enumerate(corpus)])
+        queries = ["w1 w2", "the w10"]
+        sv, sp = r.hybrid_search_batch(queries, top_k=5, approx=False,
+                                       sparse_mode="scatter")
+        tv, tp = r.hybrid_search_batch(queries, top_k=5, approx=False,
+                                       sparse_mode="twotier")
+        np.testing.assert_allclose(sv, tv, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(sp, tp)
