@@ -63,6 +63,7 @@ def run_profile(
     block: int = 16_384,
     outdir: str = "runs/profile",
     reps: int = 5,
+    impact_dtype: Optional[str] = None,
 ) -> Dict:
     import jax
     import jax.numpy as jnp
@@ -86,7 +87,12 @@ def run_profile(
     docs = rng.choice(vocab, size=(n_docs, doc_len), p=probs)
     texts = [" ".join(map(str, row)) for row in docs]
 
-    bm25 = BM25Index()
+    if impact_dtype:
+        from rag_uq_tpu.core.config import BM25Config
+
+        bm25 = BM25Index(BM25Config(impact_dtype=impact_dtype))
+    else:
+        bm25 = BM25Index()
     bm25.add_documents([Document(str(i), t) for i, t in enumerate(texts)])
     beam = bm25._sync()["beam"]
 
@@ -437,10 +443,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--batch", type=int, default=2048)
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--outdir", default="runs/profile")
+    parser.add_argument("--impact-dtype", default=None,
+                        help="override BM25Config.impact_dtype (e.g. int8) "
+                        "to probe the high-tier matmul's bandwidth scaling")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(run_profile(
-        batch=args.batch, reps=args.reps, outdir=args.outdir
+        batch=args.batch, reps=args.reps, outdir=args.outdir,
+        impact_dtype=args.impact_dtype,
     ), indent=2))
 
 
