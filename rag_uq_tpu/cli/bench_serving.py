@@ -117,6 +117,11 @@ def main(argv=None) -> None:
                         default=[1, 8, 32, 128])
     parser.add_argument("--out", default="runs/serving_bench.json")
     parser.add_argument("--tick-ms", type=float, default=2.0)
+    parser.add_argument("--dispatch-workers", type=int, default=4,
+                        help="in-flight device programs; on the relayed "
+                        "TPU each sync call is ~70-80 ms of RTT around "
+                        "~5-10 ms of device time, so closed-loop QPS "
+                        "scales with workers until device time saturates")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
 
@@ -151,7 +156,8 @@ def main(argv=None) -> None:
         b *= 2
     logger.info("bucket warmup in %.1fs", time.time() - t0)
 
-    service = QueryService(retriever, tick_ms=args.tick_ms)
+    service = QueryService(retriever, tick_ms=args.tick_ms,
+                           dispatch_workers=args.dispatch_workers)
     try:
         service.search(queries[:8], k=10)  # worker-path warmup
         levels = [
@@ -165,6 +171,7 @@ def main(argv=None) -> None:
         "n_docs": args.n_docs,
         "index_build_seconds": round(build_s, 1),
         "tick_ms": args.tick_ms,
+        "dispatch_workers": args.dispatch_workers,
         "seconds_per_level": args.seconds,
         "levels": levels,
     }

@@ -158,8 +158,15 @@ def _predict_batch(
     for s in range(0, n, ret_chunk):
         t_r = time.time()
         chunk_q = questions[s : s + ret_chunk]
+        # Router candidate pool at the width it was TRAINED on (the
+        # reference's num_passages=20 protocol, router.py:520-561 /
+        # train_router.py). The pool rows arrive fixed-fusion-ordered, so
+        # when fixed fusion mis-ranks a dense-only gold to position
+        # top_k..P the router can still rescue it; results are cut back to
+        # top_k below so metrics stay comparable across arms.
+        pool_p = max(20, 2 * top_k)
         bm25, dense, c_ids, c_texts = retriever.get_scores_for_router_batch(
-            chunk_q, num_passages=top_k
+            chunk_q, num_passages=pool_p
         )
         if router is not None:
             router.eval()
@@ -181,8 +188,8 @@ def _predict_batch(
                 float(row[0]),
                 float(row[0] - row[1]) if row.shape[0] > 1 else 0.0,
             ])
-        ids.extend(c_ids)
-        texts.extend(c_texts)
+        ids.extend(row[:top_k] for row in c_ids)
+        texts.extend(row[:top_k] for row in c_texts)
         retrieval_times.extend([(time.time() - t_r) / len(chunk_q)] * len(chunk_q))
     retrieval_total = float(sum(retrieval_times))
 
@@ -493,10 +500,15 @@ def run_ablation_study(
     eval_arm("bm25_only", ids_of(b_pos))
     _, d_pos = retriever.dense_index.search_batch(questions, top_k=top_k)
     eval_arm("dense_only", ids_of(d_pos))
+    # Candidate pool at the router's TRAINING width (num_passages=20,
+    # reference router.py:520-561): the pool arrives fixed-fusion-ordered,
+    # so fixed_hybrid is its head and the router arm may rerank golds up
+    # from positions top_k..P. Both arms report top_k lists.
+    pool_p = max(20, 2 * top_k)
     bm25, dense, ids, _ = retriever.get_scores_for_router_batch(
-        questions, num_passages=top_k
+        questions, num_passages=pool_p
     )
-    eval_arm("fixed_hybrid", [[i for i in row if i] for row in ids])
+    eval_arm("fixed_hybrid", [[i for i in row[:top_k] if i] for row in ids])
     if router is not None:
         router.eval()
         w = np.asarray(router.forward(bm25, dense, update_stats=False))
@@ -509,7 +521,8 @@ def run_ablation_study(
         decisions = [1 if float(x) > 0.5 else 0 for x in w.mean(axis=1)]
         eval_arm(
             "learned_router",
-            [[ids[i][j] for j in order[i] if ids[i][j]] for i in range(len(ids))],
+            [[ids[i][j] for j in order[i] if ids[i][j]][:top_k]
+             for i in range(len(ids))],
             router_decisions=decisions,
             oracle_decisions=oracle,
         )

@@ -92,17 +92,34 @@ def run_pipeline(
 
     # Step 2.5: encoder contrastive training (the framework's own
     # nomic-embed-text; VERDICT r1 missing #1).
+    #
+    # Training pool: the FULL QA file minus the cal/test questions, not just
+    # the `fit_samples` tail of the loaded subset. The reference's embedder
+    # (nomic-embed-text) is pretrained on far more text than the experiment's
+    # own sample budget; our analog is every world QA pair that is not a
+    # held-out evaluation question. This matters for the paraphrase-stress
+    # semantic split: an entity alias occurs in NO article, so the encoder can
+    # only bridge alias->entity if some *other* question using that alias is
+    # in its training pool (with alias_questions>=2 each entity has spares).
+    # Measured (VERDICT r2 weak #3 diagnosis): with the 2,300-row tail only
+    # 17/93 semantic test entities had alias coverage and dense semantic
+    # recall@10 was 0.086; the full pool covers 91/93.
     embedder_cfg = EmbedderConfig()
     encoder_info = {"trained": False}
     if train_encoder and fit_samples:
         from rag_uq_tpu.embed.encoder import EncoderConfig
         from rag_uq_tpu.embed.train import ContrastiveTrainer, EncoderTrainConfig
 
+        held_ids = {s["id"] for s in cal_samples + test_samples if "id" in s}
+        enc_pool = [
+            s for s in load_qa_jsonl(nq_path)
+            if s.get("id") not in held_ids
+        ]
         t0 = time.time()
         trainer = ContrastiveTrainer(
             config=EncoderTrainConfig(
                 total_steps=scales["enc_steps"],
-                batch_size=min(256, max(len(fit_samples) // 2, 8)),
+                batch_size=min(256, max(len(enc_pool) // 2, 8)),
                 seed=seed,
             ),
             encoder_config=EncoderConfig(
@@ -111,8 +128,8 @@ def run_pipeline(
             ),
         )
         losses = trainer.fit(
-            [s["question"] for s in fit_samples],
-            [s.get("context", "") for s in fit_samples],
+            [s["question"] for s in enc_pool],
+            [s.get("context", "") for s in enc_pool],
             log_every=200,
         )
         enc_ckpt = str(work / "encoder/encoder.msgpack")
@@ -122,6 +139,7 @@ def run_pipeline(
             "trained": True,
             "steps": len(losses),
             "final_loss": losses[-1],
+            "train_pool": len(enc_pool),
             "checkpoint": enc_ckpt,
         }
         timings["encoder_train_s"] = round(time.time() - t0, 1)
@@ -276,12 +294,18 @@ def run_pipeline(
         eval_mc = MCDropoutConfidence(llm, n_samples=8, seed=0)
     conformal = ConformalRAG(llm, calibration_db_path=str(work / "calibration.db"),
                              nonconformity_mode=uq_mode, mc=eval_mc)
+    # mc_samples>0 switches _predict_batch to the MC confidence path, which
+    # is what collects the per-query feature vectors (MC disagreement,
+    # agreement rate, length stats, retrieval margin) the multi-feature
+    # logistic calibrator needs (VERDICT r2 next #5). Without it the
+    # evaluation silently falls back to single-score Platt/isotonic only.
     eval_results = run_evaluation(
         retriever,
         test_samples,
         llm=llm,
         router=router,
         conformal=conformal,
+        mc_samples=8 if uq_mode == "mc_variance" else 0,
         calibration_samples=cal_samples,
         output_dir=str(work / "results"),
     )
