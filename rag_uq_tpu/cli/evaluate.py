@@ -103,9 +103,12 @@ def _oracle_decisions(
     b_pos: Optional[np.ndarray] = None,
     d_pos: Optional[np.ndarray] = None,
 ) -> List[int]:
-    """Per-query oracle arm choice: 1 (dense) iff dense-only retrieval gets a
-    strictly better reciprocal rank against the gold docs than bm25-only.
-    Pass precomputed `b_pos`/`d_pos`/`gold` to reuse ablation arms."""
+    """Per-query oracle arm choice: 1 (dense) iff dense-only retrieval gets
+    a strictly better reciprocal rank against the gold docs than bm25-only,
+    0 iff bm25 is strictly better, -1 on ties (excluded from the accuracy
+    denominator — when both arms rank gold identically there is nothing for
+    a router to get right). Pass `b_pos`/`d_pos`/`gold` to reuse ablation
+    arms."""
     from rag_uq_tpu.eval.metrics import reciprocal_rank
 
     questions = [s["question"] for s in samples]
@@ -122,7 +125,7 @@ def _oracle_decisions(
         d_ids = [store.ids[int(p)] for p in d_pos[i] if p >= 0]
         rr_b = reciprocal_rank(b_ids, gold[i])
         rr_d = reciprocal_rank(d_ids, gold[i])
-        out.append(1 if rr_d > rr_b else 0)
+        out.append(1 if rr_d > rr_b else (0 if rr_b > rr_d else -1))
     return out
 
 
@@ -166,7 +169,7 @@ def _predict_batch(
         # top_k below so metrics stay comparable across arms.
         pool_p = max(20, 2 * top_k)
         bm25, dense, c_ids, c_texts = retriever.get_scores_for_router_batch(
-            chunk_q, num_passages=pool_p
+            chunk_q, num_passages=pool_p, pool_order="balanced"
         )
         if router is not None:
             router.eval()
@@ -506,7 +509,7 @@ def run_ablation_study(
     # from positions top_k..P. Both arms report top_k lists.
     pool_p = max(20, 2 * top_k)
     bm25, dense, ids, _ = retriever.get_scores_for_router_batch(
-        questions, num_passages=pool_p
+        questions, num_passages=pool_p, pool_order="balanced"
     )
     eval_arm("fixed_hybrid", [[i for i in row[:top_k] if i] for row in ids])
     if router is not None:

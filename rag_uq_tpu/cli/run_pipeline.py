@@ -44,6 +44,7 @@ def run_pipeline(
     train_encoder: bool = True,
     scales: Optional[dict] = None,
     alias_questions: int = 0,
+    lookup_questions: int = 0,
     run_ablation: bool = False,
 ) -> dict:
     scales = scales or (
@@ -67,6 +68,7 @@ def run_pipeline(
         world = generate_world(
             scales["articles"], seed=seed,
             alias_questions_per_entity=alias_questions,
+            lookup_questions_per_entity=lookup_questions,
         )
         gen_corpus = str(work / "corpus.jsonl")
         gen_nq = str(work / "nq.jsonl")
@@ -111,9 +113,27 @@ def run_pipeline(
         from rag_uq_tpu.embed.train import ContrastiveTrainer, EncoderTrainConfig
 
         held_ids = {s["id"] for s in cal_samples + test_samples if "id" in s}
+        # Lookup-slice leak guard: a held-out lookup question's (habitat,
+        # diet, lifespan) conjunction is shared verbatim by its train-pool
+        # paraphrases. Training the encoder on ANY lookup paraphrase of a
+        # held-out lookup entity would let it memorize that exact
+        # conjunction->article mapping, quietly deleting the slice's
+        # single-vector-vs-term-weighting contrast. Alias (semantic) rows
+        # are NOT excluded: learning an alias from other questions is the
+        # capability that slice measures, memorizing a conjunction is not.
+        held_lookup_entities = {
+            (s.get("metadata") or {}).get("entity")
+            for s in cal_samples + test_samples
+            if (s.get("metadata") or {}).get("slice") == "lookup"
+        }
         enc_pool = [
             s for s in load_qa_jsonl(nq_path)
             if s.get("id") not in held_ids
+            and not (
+                (s.get("metadata") or {}).get("slice") == "lookup"
+                and (s.get("metadata") or {}).get("entity")
+                in held_lookup_entities
+            )
         ]
         t0 = time.time()
         trainer = ContrastiveTrainer(
@@ -355,6 +375,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--semantic", type=int, default=0, metavar="N",
                         help="add N alias (paraphrase-stress) questions per "
                         "entity to the generated world")
+    parser.add_argument("--lookup", type=int, default=0, metavar="N",
+                        help="add up to N conjunctive archive-lookup "
+                        "questions per animal entity (bm25-favoring slice)")
     parser.add_argument("--ablation", action="store_true",
                         help="run the 4-arm retrieval ablation on the test "
                         "split (per-slice when --semantic is on)")
@@ -369,6 +392,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         train_encoder=not args.no_encoder,
         seed=args.seed,
         alias_questions=args.semantic,
+        lookup_questions=args.lookup,
         run_ablation=args.ablation,
     )
     print(json.dumps(summary, indent=2, default=str))

@@ -39,6 +39,8 @@ logger = logging.getLogger(__name__)
 def multi_world_qa(
     n_worlds: int, articles_per_world: int, seed0: int = 1,
     hard_pools: bool = False,
+    alias_q: int = 0,
+    lookup_q: int = 0,
 ) -> tuple:
     """QA samples + distractor texts pooled from several generated worlds.
 
@@ -53,7 +55,17 @@ def multi_world_qa(
 
     samples, distractors, pools = [], [], []
     for seed in range(seed0, seed0 + n_worlds):
-        w = generate_world(articles_per_world, seed=seed)
+        # alias_q / lookup_q expose the extractor to the pipeline's full
+        # question-style mix: alias (semantic) questions read like base
+        # ones with unfamiliar names, but archive-lookup questions invert
+        # the extraction direction (the answer is the entity NAME picked
+        # by a value conjunction) — a style zero-shot extraction from
+        # base-only pretraining has never seen.
+        w = generate_world(
+            articles_per_world, seed=seed,
+            alias_questions_per_entity=alias_q,
+            lookup_questions_per_entity=lookup_q,
+        )
         rows = w.qa_rows()
         samples += rows
         distractors += [a["text"] for a in w.articles[:500]]
@@ -140,6 +152,8 @@ def train_extractor(
     eval_n: int = 200,
     init_from: Optional[str] = None,
     curriculum: bool = False,
+    alias_q: int = 0,
+    lookup_q: int = 0,
 ) -> Dict:
     """Pretrain (or, with `curriculum`, continue training) the extractor.
 
@@ -156,10 +170,13 @@ def train_extractor(
     hard_pools = None
     if curriculum:
         samples, distractors, hard_pools = multi_world_qa(
-            n_worlds, articles_per_world, hard_pools=True
+            n_worlds, articles_per_world, hard_pools=True,
+            alias_q=alias_q, lookup_q=lookup_q,
         )
     else:
-        samples, distractors = multi_world_qa(n_worlds, articles_per_world)
+        samples, distractors = multi_world_qa(
+            n_worlds, articles_per_world, alias_q=alias_q, lookup_q=lookup_q
+        )
     logger.info("%d training QAs from %d worlds in %.0fs",
                 len(samples), n_worlds, time.time() - t0)
 
@@ -217,9 +234,18 @@ def train_extractor(
     # Held-out world: seed 0 is never in the training stream (seed0=1).
     from rag_uq_tpu.data.synth_wiki import generate_world
 
-    test_world = generate_world(max(eval_n, 100), seed=0)
+    test_world = generate_world(
+        max(eval_n, 100), seed=0,
+        alias_questions_per_entity=alias_q,
+        lookup_questions_per_entity=lookup_q,
+    )
     lm = trainer.export_sampler()
-    test_rows = test_world.qa_rows()[:eval_n]
+    # Base rows first so the headline EMs stay comparable across rounds;
+    # lookup rows get their own eval below when enabled.
+    all_rows = test_world.qa_rows()
+    test_rows = [
+        r for r in all_rows if r["metadata"]["slice"] == "lexical"
+    ][:eval_n]
     metrics = eval_extraction(lm, test_rows)
     metrics_distract = eval_extraction(
         lm, test_rows,
@@ -238,6 +264,20 @@ def train_extractor(
         distractor_texts=[r["text"] for r in test_world.corpus_rows()],
         hard_pools=test_pools,
     )
+    metrics_lookup = None
+    if lookup_q > 0:
+        lookup_rows = [
+            r for r in all_rows if r["metadata"]["slice"] == "lookup"
+        ][:eval_n]
+        if lookup_rows:
+            lk_pools = [
+                by_kind[kind_of[r["gold_doc_ids"][0]]] for r in lookup_rows
+            ]
+            metrics_lookup = eval_extraction(
+                lm, lookup_rows,
+                distractor_texts=[r["text"] for r in test_world.corpus_rows()],
+                hard_pools=lk_pools,
+            )
 
     ckpt = str(out / "tiny_lm.msgpack")
     trainer.save_checkpoint(ckpt)
@@ -250,6 +290,7 @@ def train_extractor(
         "unseen_world_eval": metrics,
         "unseen_world_eval_distractors": metrics_distract,
         "unseen_world_eval_hard_distractors": metrics_hard,
+        "unseen_world_eval_lookup_hard": metrics_lookup,
         "curriculum": curriculum,
         "checkpoint": ckpt,
         "model_config": vars(model_cfg),
@@ -280,6 +321,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--curriculum", action="store_true",
                         help="hard-distractor curriculum (1-3 distractors, "
                         "half same-kind confusables, budget-fit packing)")
+    parser.add_argument("--alias-q", type=int, default=0,
+                        help="alias (semantic-slice) questions per entity "
+                        "in each training world")
+    parser.add_argument("--lookup-q", type=int, default=0,
+                        help="archive-lookup questions per animal entity "
+                        "in each training world")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(train_extractor(
@@ -288,6 +335,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         batch_size=args.batch_size, dim=args.dim, num_layers=args.layers,
         learning_rate=args.lr, seq_len=args.seq_len, seed=args.seed,
         init_from=args.init_from, curriculum=args.curriculum,
+        alias_q=args.alias_q, lookup_q=args.lookup_q,
     ), indent=2))
 
 

@@ -47,8 +47,12 @@ def prepare_training_data(
     bm25_all, dense_all, rel_all = [], [], []
     for s in range(0, len(samples), batch_size):
         chunk = samples[s : s + batch_size]
+        # Balanced pool: train on the same candidate distribution the
+        # evaluator serves the router (both towers' top ranks always
+        # present; see HybridRetriever.get_scores_for_router_batch).
         bm25, dense, _ids, texts = retriever.get_scores_for_router_batch(
-            [c["question"] for c in chunk], num_passages=num_passages
+            [c["question"] for c in chunk], num_passages=num_passages,
+            pool_order="balanced",
         )
         for i, sample in enumerate(chunk):
             answers = sample.get("answers") or [sample.get("answer", "")]

@@ -112,6 +112,9 @@ class QA:
     # "lexical": the question names the entity (BM25-friendly).
     # "semantic": the question uses the entity's alias, which occurs in no
     # article — lexical retrieval fails by construction, dense must bridge.
+    # "lookup": the question names NO entity, only a conjunction of
+    # moderately-common attribute values whose combination is unique —
+    # term-weighted sparse scoring succeeds, single-vector dense struggles.
     slice: str = "lexical"
 
 
@@ -383,6 +386,36 @@ _QUESTION_TEMPLATES: Dict[Tuple[str, str], Tuple[List[str], str]] = {
 }
 
 
+# -- lookup (conjunctive archive) templates -----------------------------------------
+# The inverse of the question templates above: the entity is the ANSWER and
+# the question names only a conjunction of attribute values. Each value alone
+# is moderately common (habitats/diets are shared by ~1/8 of animals,
+# lifespans by ~1/58), so no single query token identifies the gold article —
+# only the conjunction does. Term-weighted sparse scoring (BM25 sums idf over
+# all matched constraints) resolves the conjunction; a single mean-pooled
+# query vector cannot express "matches A AND B AND C" against hundreds of
+# near-duplicate articles that each satisfy a subset. This is the
+# bm25-favoring twin of the alias ("semantic") split, giving the learned
+# router a genuine per-query decision (VERDICT r2 next #3).
+#
+# Wording constraint: the BM25 tokenizer is bare lowercase+whitespace split
+# (text/tokenize.py parity contract), so a value token followed by
+# punctuation hashes differently from its clean article-side form. Templates
+# below keep every constraint value mid-phrase; multi-word values (habitat,
+# diet) always contribute at least one clean token on both sides.
+
+_LOOKUP_TEMPLATES: List[str] = [
+    "Which animal of the {habitat} feeds on {diet} and lives about "
+    "{lifespan} years?",
+    "What animal lives roughly {lifespan} years, eats {diet} and is found "
+    "in {habitat} country?",
+    "Name the {habitat} animal whose diet is {diet} and whose lifespan is "
+    "around {lifespan} years.",
+    "An animal dwelling in {habitat} that eats {diet} and reaches "
+    "{lifespan} years of age — which is it?",
+]
+
+
 def _article_text(rng: np.random.Generator, ent: Entity) -> str:
     fields = {"name": ent.name, **ent.attrs}
     sentences = []
@@ -403,6 +436,7 @@ def generate_world(
     questions_per_entity: int = 2,
     seed: int = 0,
     alias_questions_per_entity: int = 0,
+    lookup_questions_per_entity: int = 0,
 ) -> World:
     """Generate a deterministic world of `n_articles` single-entity articles.
 
@@ -419,6 +453,16 @@ def generate_world(
     — the paraphrase-stress split VERDICT r2 next #3 asks for. Aliases are
     drawn from an independent rng stream so worlds WITHOUT alias questions
     are byte-identical to earlier rounds' artifacts.
+
+    With `lookup_questions_per_entity > 0`, each ANIMAL entity whose
+    (habitat, diet, lifespan) value triple is unique among animals gets up
+    to that many conjunctive "archive lookup" questions (slice="lookup",
+    capped at len(_LOOKUP_TEMPLATES)): the question names only the three
+    attribute values, the answer is the species name. Every constraint is
+    moderately common on its own, so these favor term-weighted sparse
+    retrieval over single-vector dense — the mirror image of the alias
+    split. Also an independent rng stream: the base (and alias) worlds stay
+    byte-identical when lookups are enabled.
     """
     rng = np.random.default_rng(seed)
     entities = _make_entities(rng, n_articles)
@@ -495,6 +539,43 @@ def generate_world(
                     slice="semantic",
                 ))
                 made += 1
+
+    if lookup_questions_per_entity > 0:
+        # Independent stream (like the alias stream): enabling lookups must
+        # not perturb the base or alias questions.
+        lrng = np.random.default_rng((seed ^ 0x100C0B) & 0x7FFFFFFF)
+        triple_counts: Dict[Tuple[str, str, str], int] = {}
+        for ent in entities:
+            if ent.kind != "animal":
+                continue
+            key = (ent.attrs["habitat"], ent.attrs["diet"], ent.attrs["lifespan"])
+            triple_counts[key] = triple_counts.get(key, 0) + 1
+        n_lookup = min(lookup_questions_per_entity, len(_LOOKUP_TEMPLATES))
+        for i, ent in enumerate(entities):
+            if ent.kind != "animal":
+                continue
+            key = (ent.attrs["habitat"], ent.attrs["diet"], ent.attrs["lifespan"])
+            if triple_counts[key] != 1:
+                continue  # conjunction must identify exactly one animal
+            if ent.name not in articles[i]["text"]:
+                continue
+            order = lrng.permutation(len(_LOOKUP_TEMPLATES))[:n_lookup]
+            for j in order:
+                q = _LOOKUP_TEMPLATES[int(j)].format(
+                    habitat=ent.attrs["habitat"],
+                    diet=ent.attrs["diet"],
+                    lifespan=ent.attrs["lifespan"],
+                )
+                qas.append(QA(
+                    id=f"qa_{len(qas)}",
+                    question=q,
+                    answers=[ent.name],
+                    entity=ent.name,
+                    attribute="lookup",
+                    gold_doc_ids=[articles[i]["id"]],
+                    context=articles[i]["text"],
+                    slice="lookup",
+                ))
 
     logger.info(
         "Generated world: %d articles, %d QA pairs (seed %d)",

@@ -197,8 +197,18 @@ def evaluate_retrieval(
         ndcg_at_10=ndcg_sum / n,
     )
     if router_decisions is not None and oracle_decisions is not None:
-        correct = sum(1 for r, o in zip(router_decisions, oracle_decisions) if r == o)
-        metrics.router_accuracy = correct / len(router_decisions)
+        # Oracle -1 marks a tie (both arms rank gold identically): no
+        # routing decision is better there, so ties don't enter the
+        # accuracy denominator (reference eval_protocol.py:294-296 defines
+        # only the mean-agreement form; its callers never populate it).
+        pairs = [
+            (r, o) for r, o in zip(router_decisions, oracle_decisions)
+            if o >= 0
+        ]
+        if pairs:
+            metrics.router_accuracy = sum(
+                1 for r, o in pairs if r == o
+            ) / len(pairs)
     return metrics
 
 

@@ -280,12 +280,29 @@ class HybridRetriever:
         queries: Sequence[str],
         num_passages: int = 20,
         retrieval_pool_size: int = 50,
+        pool_order: str = "fused",
     ) -> Tuple[np.ndarray, np.ndarray, List[List[str]], List[List[str]]]:
         """Batched get_scores_for_router: one device program batch for the
         whole query list instead of a Python loop of single-query searches
         (the reference's per-query protocol, streaming_index.py:525-557,
         kept semantically: per-query union pool, fixed fusion ranking, the
         top `num_passages` rows returned with raw scores, zero-padded).
+
+        `pool_order` controls which `num_passages` union-pool members are
+        kept when the pool is wider than the output:
+
+        - "fused" (default, reference parity): the head of the fixed
+          mean-fusion ranking (streaming_index.py:510-521). When one tower's
+          scores are uninformative noise (e.g. BM25 on alias queries whose
+          terms occur in no document), max-normalization still scales that
+          noise to O(1), and fusing it can push the other tower's true top
+          candidates past position P — the router never sees them.
+        - "balanced": keep each candidate by its BEST single-tower rank
+          (min of bm25-rank and dense-rank; fused score breaks ties), so
+          both towers' top ~P/2 always survive selection, then present the
+          kept rows in fixed-fusion order. Fixed fusion over this pool is
+          unchanged in formula (its head is still the first rows); a learned
+          router gets the candidates it needs to beat fixed fusion.
 
         Returns (bm25 [B, P], dense [B, P], doc_ids [B][P], texts [B][P]).
         """
@@ -304,7 +321,24 @@ class HybridRetriever:
         max_d = np.maximum(np.where(live, dense, -np.inf).max(axis=1), 1e-12)
         fused = (bm25 / max_b[:, None] + dense / max_d[:, None]) / 2.0
         fused = np.where(live, fused, -np.inf)
-        order = np.argsort(-fused, axis=1)[:, :num_passages]
+        if pool_order == "balanced":
+            big = bm25.shape[1] + 1
+            rank_b = np.argsort(
+                np.argsort(-np.where(live, bm25, -np.inf), axis=1), axis=1
+            )
+            rank_d = np.argsort(
+                np.argsort(-np.where(live, dense, -np.inf), axis=1), axis=1
+            )
+            min_rank = np.where(live, np.minimum(rank_b, rank_d), big)
+            # Primary: best single-tower rank; secondary: fused score.
+            sel = np.lexsort((-fused, min_rank), axis=1)[:, :num_passages]
+            # Present the kept candidates in fixed-fusion order.
+            sel_fused = np.take_along_axis(fused, sel, axis=1)
+            order = np.take_along_axis(
+                sel, np.argsort(-sel_fused, axis=1), axis=1
+            )
+        else:
+            order = np.argsort(-fused, axis=1)[:, :num_passages]
 
         sel_pos = np.take_along_axis(positions, order, axis=1)
         sel_b = np.take_along_axis(bm25, order, axis=1)

@@ -144,6 +144,31 @@ class TestHybridRetriever:
         b, d, ids, texts = r.get_scores_for_router_batch(["q1", "q2"], 5)
         assert b.shape == (2, 5) and ids == [[""] * 5] * 2
 
+    def test_balanced_pool_contains_both_tower_tops(self, retriever):
+        # pool_order="balanced": each tower's top candidates must survive
+        # selection even when fixed fusion would rank them past P, and the
+        # kept rows are presented in fixed-fusion order.
+        queries = ["w1 w2 the", "w10 w3"]
+        P = 6
+        b, d, ids, _ = retriever.get_scores_for_router_batch(
+            queries, num_passages=P, pool_order="balanced"
+        )
+        for qi, q in enumerate(queries):
+            got = {i for i in ids[qi] if i}
+            top_b = [doc for doc, _ in retriever.bm25_search(q, top_k=3)]
+            top_d = [doc for doc, _ in retriever.dense_search(q, top_k=3)]
+            for doc in top_b + top_d:
+                assert doc in got, (q, doc, ids[qi])
+            # Presentation order is fused-descending. The per-row max of
+            # the returned scores equals the pool max (each tower's top-1
+            # is always selected), so the fusion is exactly recomputable.
+            live = np.array([bool(i) for i in ids[qi]])
+            max_b = max(b[qi][live].max(), 1e-12)
+            max_d = max(d[qi][live].max(), 1e-12)
+            fused = (b[qi] / max_b + d[qi] / max_d) / 2.0
+            fused = fused[live]
+            assert np.all(np.diff(fused) <= 1e-9), fused
+
     def test_batched_router_scores_match_per_query(self, retriever):
         # The batched path must reproduce the per-query protocol: same doc
         # ids (up to fusion-score ties) and same raw scores per doc.

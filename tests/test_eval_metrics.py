@@ -52,6 +52,22 @@ class TestRetrievalMetrics:
         )
         assert metrics.router_accuracy == pytest.approx(0.75)
 
+    def test_router_accuracy_excludes_ties(self):
+        # Oracle -1 = both arms rank gold identically: not a routing
+        # decision, excluded from the denominator.
+        metrics = M.evaluate_retrieval(
+            [["a"]], [["a"]],
+            router_decisions=[1, 0, 1, 1],
+            oracle_decisions=[-1, -1, 1, 0],
+        )
+        assert metrics.router_accuracy == pytest.approx(0.5)
+        all_ties = M.evaluate_retrieval(
+            [["a"]], [["a"]],
+            router_decisions=[1, 0],
+            oracle_decisions=[-1, -1],
+        )
+        assert all_ties.router_accuracy is None
+
 
 class TestGenerationMetrics:
     def test_normalization(self):

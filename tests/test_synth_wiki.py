@@ -78,6 +78,51 @@ class TestWorld:
         rows = w.qa_rows()
         assert {r["metadata"]["slice"] for r in rows} == {"lexical", "semantic"}
 
+    def test_lookup_questions_conjunctive_slice(self):
+        # Archive-lookup split: conjunctive value questions where every
+        # constraint is moderately common but the combination is unique;
+        # base + alias worlds stay byte-identical (independent rng stream).
+        base = generate_world(120, seed=5, alias_questions_per_entity=1)
+        w = generate_world(
+            120, seed=5, alias_questions_per_entity=1,
+            lookup_questions_per_entity=4,
+        )
+        assert [a["text"] for a in base.articles] == [
+            a["text"] for a in w.articles
+        ]
+        assert [q.question for q in base.qas] == [
+            q.question for q in w.qas[: len(base.qas)]
+        ]
+        lk = [q for q in w.qas if q.slice == "lookup"]
+        assert len(lk) >= 20
+        by_id = {a["id"]: a for a in w.articles}
+        animals = [e for e in w.entities if e.kind == "animal"]
+        for q in lk[:50]:
+            # The entity name never appears in a lookup question, so the
+            # only retrieval signal is the attribute-value conjunction.
+            assert q.entity not in q.question
+            # Gold-consistent: the species-name answer is in the article.
+            assert q.answers[0] in by_id[q.gold_doc_ids[0]]["text"]
+            # The conjunction identifies exactly one animal.
+            ent = next(e for e in animals if e.name == q.entity)
+            key = (ent.attrs["habitat"], ent.attrs["diet"],
+                   ent.attrs["lifespan"])
+            matches = [
+                e for e in animals
+                if (e.attrs["habitat"], e.attrs["diet"],
+                    e.attrs["lifespan"]) == key
+            ]
+            assert len(matches) == 1
+            # Each constraint value occurs in the question text.
+            for v in key:
+                assert v in q.question
+        # Constraints are individually common: each habitat/diet value
+        # spans several articles (no single globally-rare bullseye token).
+        from collections import Counter
+
+        hab = Counter(e.attrs["habitat"] for e in animals)
+        assert sum(c >= 2 for c in hab.values()) >= len(hab) // 2
+
     def test_write_world(self, tmp_path):
         from rag_uq_tpu.data.loaders import load_qa_jsonl, read_jsonl
 
