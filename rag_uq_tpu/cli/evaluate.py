@@ -30,6 +30,7 @@ import numpy as np
 
 from rag_uq_tpu.data.loaders import load_qa_jsonl
 from rag_uq_tpu.eval.evaluator import RAGEvaluator
+from rag_uq_tpu.eval.metrics import normalize_answer
 from rag_uq_tpu.llm.mock import MockLLM
 from rag_uq_tpu.retrieval.hybrid import HybridRetriever
 from rag_uq_tpu.router.model import RetrievalRouter
@@ -202,9 +203,15 @@ def _predict_batch(
     ]
 
     # -- generation: chunked batched sampling (one device program per chunk),
-    # each chunk timed for the same per-query percentile accounting.
+    # each chunk timed for the same per-query percentile accounting. When the
+    # generator exposes sequence likelihoods (TinyLM.generate_batch_scored),
+    # the greedy answer's mean/min token logprob come back for free and feed
+    # the confidence feature vector — the signal family that sees inside the
+    # generation (docs/calibration.md).
     predictions: List[str] = []
+    gen_logprobs: List[List[float]] = []
     generation_times: List[float] = []
+    scored = hasattr(llm, "generate_batch_scored")
     gen_chunk = 64
     for s in range(0, n, gen_chunk):
         t_g = time.time()
@@ -215,12 +222,21 @@ def _predict_batch(
             f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
             for q, c in zip(chunk_q, chunk_c)
         ]
-        predictions.extend(
-            llm.generate_batch(
-                prompts, [0.1] * len(prompts), [0.9] * len(prompts),
-                max_tokens=100,
+        temps = [0.1] * len(prompts)
+        tops = [0.9] * len(prompts)
+        if scored:
+            txts, mean_lp, min_lp = llm.generate_batch_scored(
+                prompts, temps, tops, max_tokens=100
             )
-        )
+            predictions.extend(txts)
+            gen_logprobs.extend(
+                [float(m), float(mn)] for m, mn in zip(mean_lp, min_lp)
+            )
+        else:
+            predictions.extend(
+                llm.generate_batch(prompts, temps, tops, max_tokens=100)
+            )
+            gen_logprobs.extend([[0.0, 0.0]] * len(prompts))
         generation_times.extend(
             [(time.time() - t_g) / len(chunk_q)] * len(chunk_q)
         )
@@ -241,12 +257,28 @@ def _predict_batch(
             )):
                 confidences.append(r.confidence)
                 md = r.metadata
+                # Grounding features: an extractive answer that is absent
+                # from its own retrieved context is almost surely wrong, and
+                # greedy/MC-consensus disagreement flags unstable decodes.
+                # Both are computable at test time (no gold needed) and are
+                # the strongest correctness predictors in this regime — the
+                # extractor's MC disagreement alone is near-binary (VERDICT
+                # r2 weak #6).
+                n_cons = normalize_answer(r.consensus_answer or "")
+                n_greedy = normalize_answer(predictions[s + j] or "")
+                n_ctx = normalize_answer(contexts[s + j] or "")
                 conf_features.append([
                     r.confidence,
                     md.get("agreement_rate", 0.0),
                     r.lexical_diversity or 0.0,
                     md.get("answer_len_spread", 0.0),
                     md.get("answer_len_mean", 0.0),
+                    1.0 if n_cons and n_cons in n_ctx else 0.0,
+                    1.0 if n_greedy and n_greedy in n_ctx else 0.0,
+                    1.0 if n_greedy and n_greedy == n_cons else 0.0,
+                    *gen_logprobs[s + j],
+                    md.get("sample_lp_mean", 0.0),
+                    md.get("sample_lp_spread", 0.0),
                     *retrieval_feats[s + j],
                 ])
     else:
@@ -378,10 +410,24 @@ def run_evaluation(
             cal_x = np.asarray(cal["conf_features"], dtype=np.float64)
             test_x = np.asarray(pred["conf_features"], dtype=np.float64)
             w = fit_logistic(cal_x[:n_fit], cal_y[:n_fit])
+            # Keep artifacts self-describing: weight i belongs to
+            # feature_names[i] (order assembled in _predict_batch); the
+            # final weight is the bias.
+            feat_names = [
+                "mc_confidence", "agreement_rate", "lexical_diversity",
+                "answer_len_spread", "answer_len_mean",
+                "consensus_in_context", "greedy_in_context",
+                "greedy_eq_consensus", "greedy_lp_mean", "greedy_lp_min",
+                "sample_lp_mean", "sample_lp_spread",
+                "retrieval_top1", "retrieval_margin",
+            ]
             candidates["logistic_features"] = {
                 "cal_sel": apply_logistic(cal_x[n_fit:], w),
                 "test": apply_logistic(test_x, w),
-                "params": {"weights": [round(float(v), 4) for v in w]},
+                "params": {
+                    "weights": [round(float(v), 4) for v in w],
+                    "feature_names": feat_names[: cal_x.shape[1]] + ["bias"],
+                },
             }
 
         def sel_brier(c) -> float:
@@ -442,6 +488,30 @@ def run_evaluation(
         latencies, retrieval_times=retrieval_times, generation_times=generation_times
     )
     results["efficiency"] = eff.to_dict()
+    # Per-slice generation + end-to-end decomposition (where does EM go
+    # relative to retrieval recall?): available whenever samples carry
+    # `metadata.slice` labels, mirroring the ablation's by_slice contract.
+    sl_labels = [(s.get("metadata") or {}).get("slice") for s in samples]
+    if len({s for s in sl_labels if s}) >= 2:
+        gold_in_ctx = [
+            1.0 if any(g in row[:context_passages] for g in gset) else 0.0
+            for row, gset in zip(retrieved_ids, gold_ids)
+        ]
+        by_slice: Dict[str, Dict] = {}
+        for sl in sorted({s for s in sl_labels if s}):
+            idx = [i for i, s in enumerate(sl_labels) if s == sl]
+            g = evaluator.evaluate_generation(
+                [predictions[i] for i in idx], [references[i] for i in idx]
+            )
+            by_slice[sl] = {
+                "n": len(idx),
+                "exact_match": g.exact_match,
+                "f1": g.f1,
+                "gold_in_context_rate": float(
+                    np.mean([gold_in_ctx[i] for i in idx])
+                ),
+            }
+        results["generation"]["by_slice"] = by_slice
     if scaling_info is not None:
         results["confidence_scaling"] = scaling_info
     if save:

@@ -154,6 +154,7 @@ def train_extractor(
     curriculum: bool = False,
     alias_q: int = 0,
     lookup_q: int = 0,
+    oversample_lookup: int = 1,
 ) -> Dict:
     """Pretrain (or, with `curriculum`, continue training) the extractor.
 
@@ -179,6 +180,21 @@ def train_extractor(
         )
     logger.info("%d training QAs from %d worlds in %.0fs",
                 len(samples), n_worlds, time.time() - t0)
+    if oversample_lookup > 1:
+        # Archive-lookup rows invert the extraction direction (pick the
+        # entity NAME that satisfies a value conjunction) and sit at ~8%
+        # of the natural mix — too rare for the hardest split to converge
+        # (lookup-hard EM 0.38 at the natural rate). Replicating them
+        # raises their per-batch sampling rate; pools replicate alongside
+        # so curriculum distractors stay per-sample confusables.
+        extra = [i for i, s in enumerate(samples)
+                 if s["metadata"]["slice"] == "lookup"]
+        for _ in range(oversample_lookup - 1):
+            samples += [samples[i] for i in extra]
+            if hard_pools is not None:
+                hard_pools += [hard_pools[i] for i in extra]
+        logger.info("oversampled %d lookup rows x%d -> %d training QAs",
+                    len(extra), oversample_lookup, len(samples))
 
     model_cfg = TinyLMConfig(
         dim=dim, num_layers=num_layers, num_heads=max(dim // 64, 1),
@@ -327,6 +343,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--lookup-q", type=int, default=0,
                         help="archive-lookup questions per animal entity "
                         "in each training world")
+    parser.add_argument("--oversample-lookup", type=int, default=1,
+                        help="replicate lookup-slice training rows this "
+                        "many times (their natural rate is too low for "
+                        "the hardest split to converge)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(train_extractor(
@@ -336,6 +356,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         learning_rate=args.lr, seq_len=args.seq_len, seed=args.seed,
         init_from=args.init_from, curriculum=args.curriculum,
         alias_q=args.alias_q, lookup_q=args.lookup_q,
+        oversample_lookup=args.oversample_lookup,
     ), indent=2))
 
 

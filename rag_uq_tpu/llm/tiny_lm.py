@@ -143,7 +143,7 @@ class TinyLM:
             tok0 = prompts[:, 0:1]
 
             def step(carry, i):
-                cache, tok, rng, done, out, last = carry
+                cache, tok, rng, done, out, lp_sum, lp_min, n_gen = carry
                 pos = jnp.full((batch, 1), i, dtype=jnp.int32)
                 logits, updated = model.apply(
                     {"params": params, "cache": cache},
@@ -165,15 +165,31 @@ class TinyLM:
                 out = out.at[jnp.arange(batch), safe_col].set(
                     jnp.where(active, sampled, cur)
                 )
+                # Per-token logprob of the chosen token under the RAW model
+                # distribution (temperature-independent), accumulated over
+                # the generated span only — the sequence-likelihood signal
+                # behind the `generate_batch_scored` confidence features.
+                lp_tok = jax.nn.log_softmax(logits, axis=-1)[
+                    jnp.arange(batch), sampled
+                ]
+                lp_sum = lp_sum + jnp.where(active, lp_tok, 0.0)
+                lp_min = jnp.minimum(lp_min, jnp.where(active, lp_tok, jnp.inf))
+                n_gen = n_gen + active.astype(jnp.int32)
                 done = done | (active & (sampled == EOS))
-                return (cache, next_tok[:, None], rng, done, out, sampled), None
+                return (cache, next_tok[:, None], rng, done, out,
+                        lp_sum, lp_min, n_gen), None
 
             done0 = jnp.zeros((batch,), dtype=bool)
-            carry = (cache, tok0, rng, done0, out, jnp.zeros((batch,), jnp.int32))
-            (cache, _, _, _, out, _), _ = jax.lax.scan(
+            carry = (
+                cache, tok0, rng, done0, out,
+                jnp.zeros((batch,), jnp.float32),
+                jnp.full((batch,), jnp.inf, jnp.float32),
+                jnp.zeros((batch,), jnp.int32),
+            )
+            (cache, _, _, _, out, lp_sum, lp_min, n_gen), _ = jax.lax.scan(
                 step, carry, jnp.arange(n_steps, dtype=jnp.int32)
             )
-            return out
+            return out, lp_sum, lp_min, n_gen
 
         self._samplers[key] = run
         return run
@@ -228,11 +244,30 @@ class TinyLM:
         max_tokens: int = 100,
         seed: Optional[int] = None,
     ) -> List[str]:
+        return self.generate_batch_scored(
+            prompts, temperatures, top_ps, max_tokens, seed
+        )[0]
+
+    def generate_batch_scored(
+        self,
+        prompts: Sequence[str],
+        temperatures: Sequence[float],
+        top_ps: Sequence[float],
+        max_tokens: int = 100,
+        seed: Optional[int] = None,
+    ):
+        """Like generate_batch, but also returns per-answer sequence-
+        likelihood stats: (texts, mean_logprob [B], min_logprob [B]) where
+        the logprobs are of the sampled tokens under the raw (T=1) model
+        distribution, over the generated span including EOS. Empty
+        generations get 0.0 for both. These feed the multi-feature
+        confidence calibrator (docs/calibration.md: the one observable
+        family that sees *inside* the generation)."""
         batch_tok, lens, plen = self._encode_prompts(prompts)
         batch = len(prompts)
         cache = self._init_cache(batch)
         sampler = self._get_sampler(batch, max_tokens, plen)
-        out = sampler(
+        out, lp_sum, lp_min, n_gen = sampler(
             self.params,
             cache,
             jnp.asarray(batch_tok),
@@ -242,7 +277,14 @@ class TinyLM:
             jax.random.PRNGKey(seed if seed is not None else 0),
         )
         out = np.asarray(out)
-        return [self._decode(out[i]) for i in range(batch)]
+        lp_sum = np.asarray(lp_sum)
+        lp_min = np.asarray(lp_min)
+        n_gen = np.asarray(n_gen)
+        texts = [self._decode(out[i]) for i in range(batch)]
+        has = n_gen > 0
+        mean_lp = np.where(has, lp_sum / np.maximum(n_gen, 1), 0.0)
+        min_lp = np.where(has, lp_min, 0.0)
+        return texts, mean_lp.astype(np.float64), min_lp.astype(np.float64)
 
     def generate(
         self,

@@ -127,15 +127,29 @@ class MCDropoutConfidence:
         # and OOMs a 16 GB chip. 64 streams (~2.5 GB worst case) keeps the
         # program large enough to amortize dispatch.
         max_prompts = max(self.n_samples, 64 - 64 % self.n_samples)
-        raw = []
+        scored = hasattr(self.llm, "generate_batch_scored")
+        raw: List[str] = []
+        lps: List[float] = []
         for s in range(0, len(prompts), max_prompts):
-            raw.extend(self.llm.generate_batch(
-                prompts[s : s + max_prompts],
-                temps[s : s + max_prompts],
-                tops[s : s + max_prompts],
-                max_tokens=self.max_tokens,
-                seed=int(self._rng.integers(0, 2**31 - 1)),
-            ))
+            seed = int(self._rng.integers(0, 2**31 - 1))
+            if scored:
+                txts, mean_lp, _ = self.llm.generate_batch_scored(
+                    prompts[s : s + max_prompts],
+                    temps[s : s + max_prompts],
+                    tops[s : s + max_prompts],
+                    max_tokens=self.max_tokens,
+                    seed=seed,
+                )
+                raw.extend(txts)
+                lps.extend(float(x) for x in mean_lp)
+            else:
+                raw.extend(self.llm.generate_batch(
+                    prompts[s : s + max_prompts],
+                    temps[s : s + max_prompts],
+                    tops[s : s + max_prompts],
+                    max_tokens=self.max_tokens,
+                    seed=seed,
+                ))
         results = []
         for i in range(n):
             answers = [
@@ -143,7 +157,20 @@ class MCDropoutConfidence:
                 for a in raw[i * self.n_samples : (i + 1) * self.n_samples]
                 if a and a.strip()
             ]
-            results.append(self._result_from_answers(answers))
+            r = self._result_from_answers(answers)
+            if scored:
+                # Sequence-likelihood disagreement across the K stochastic
+                # samples (raw-distribution per-token mean logprobs): low
+                # mean or high spread flags decodes the model itself finds
+                # unlikely — a calibration feature the answer TEXTS can't
+                # expose (two different-but-plausible spans look alike to
+                # embedding variance).
+                ex = np.asarray(
+                    lps[i * self.n_samples : (i + 1) * self.n_samples]
+                )
+                r.metadata["sample_lp_mean"] = float(ex.mean())
+                r.metadata["sample_lp_spread"] = float(ex.std())
+            results.append(r)
         return results
 
     def _result_from_answers(self, answers: List[str]) -> "ConfidenceResult":

@@ -156,6 +156,25 @@ class TestEvaluateCLI:
         assert results["retrieval"]["mrr"] > 0
         assert (tmp_path / "results/evaluation_results.json").exists()
 
+    def test_run_evaluation_by_slice(self, retriever, tmp_path):
+        """Samples with >=2 `metadata.slice` labels get a per-slice
+        generation decomposition (EM/F1 + gold-in-context rate)."""
+        samples = [
+            {"question": "topic2 number 7", "answers": ["number 7"],
+             "metadata": {"slice": "lexical"}},
+            {"question": "topic4 number 9", "answers": ["number 9"],
+             "metadata": {"slice": "semantic"}},
+        ]
+        results = run_evaluation(
+            retriever, samples, llm=MockLLM(["number 7"]),
+            output_dir=str(tmp_path / "results_sl"),
+        )
+        bs = results["generation"]["by_slice"]
+        assert set(bs) == {"lexical", "semantic"}
+        for row in bs.values():
+            assert row["n"] == 1
+            assert 0.0 <= row["gold_in_context_rate"] <= 1.0
+
     def test_ablation_arms(self, retriever, tmp_path):
         samples = [{"question": "topic1 number 6", "answers": ["number 6"]}]
         arms = run_ablation_study(

@@ -71,6 +71,72 @@ class TestTinyLM:
         assert len(outs) == 3
         assert all(isinstance(o, str) for o in outs)
 
+    def test_scored_matches_eager_oracle(self, lm):
+        """Oracle twin for the scan-accumulated logprob stats: replay the
+        sampler's step loop eagerly (same rng split sequence, same prompt
+        forcing / done masking) and recompute mean/min logprob of the
+        generated span by hand."""
+        prompt, max_tokens, seed = "hello oracle", 6, 7
+        temp, top_p = 0.9, 0.9
+        texts, mean_lp, min_lp = lm.generate_batch_scored(
+            [prompt], [temp], [top_p], max_tokens=max_tokens, seed=seed
+        )
+
+        batch_tok, lens, plen = lm._encode_prompts([prompt])
+        cache = lm._init_cache(1)
+        temps = jnp.full((1,), temp)
+        tops = jnp.full((1,), top_p)
+        rng = jax.random.PRNGKey(seed)
+        tok = jnp.asarray(batch_tok[:, 0:1])
+        plen_i = int(lens[0])
+        lps, done, n_col = [], False, 0
+        for i in range(plen + max_tokens - 1):
+            pos = jnp.full((1, 1), i, dtype=jnp.int32)
+            logits, upd = lm.model.apply(
+                {"params": lm.params, "cache": cache}, tok, pos,
+                mutable=["cache"],
+            )
+            cache = upd["cache"]
+            rng, sub = jax.random.split(rng)
+            sampled = sample_top_p(sub, logits, temps, tops)
+            in_prompt = (i + 1) < plen_i
+            active = (not in_prompt) and (not done) and (n_col < max_tokens)
+            if active:
+                lp = jax.nn.log_softmax(logits, axis=-1)[0, int(sampled[0])]
+                lps.append(float(lp))
+                n_col += 1
+                if int(sampled[0]) == EOS:
+                    done = True
+            nxt = (
+                int(batch_tok[0, min(i + 1, plen - 1)])
+                if in_prompt else int(sampled[0])
+            )
+            tok = jnp.asarray([[nxt]], dtype=jnp.int32)
+        assert lps, "oracle generated nothing"
+        # jit-vs-eager numerics on bf16 params put the two ~5e-4 apart;
+        # an accounting bug (prompt token counted, post-EOS token counted,
+        # missed EOS) shifts the mean by a whole token's logprob — orders
+        # of magnitude above this tolerance.
+        np.testing.assert_allclose(mean_lp[0], np.mean(lps), rtol=5e-3)
+        np.testing.assert_allclose(min_lp[0], np.min(lps), rtol=5e-3)
+
+    def test_scored_generation(self, lm):
+        """generate_batch_scored returns the same texts plus per-answer
+        logprob stats with the right invariants: mean >= min, both <= 0
+        for non-empty generations, and texts identical to generate_batch
+        under the same seed."""
+        prompts = ["prompt one", "prompt two"]
+        temps, tops = [0.8, 0.8], [0.9, 0.9]
+        texts, mean_lp, min_lp = lm.generate_batch_scored(
+            prompts, temps, tops, max_tokens=8, seed=3
+        )
+        plain = lm.generate_batch(prompts, temps, tops, max_tokens=8, seed=3)
+        assert texts == plain
+        assert mean_lp.shape == (2,) and min_lp.shape == (2,)
+        for m, mn in zip(mean_lp, min_lp):
+            assert np.isfinite(m) and np.isfinite(mn)
+            assert mn <= m <= 0.0 or (m == 0.0 and mn == 0.0)
+
     def test_prompt_encoding(self, lm):
         batch, lens, plen = lm._encode_prompts(["ab", "a"])
         assert batch[0, 0] == BOS and batch[1, 0] == BOS
