@@ -464,3 +464,10 @@ class TestBenchServing:
         assert stats["requests"] > 0
         assert stats["qps"] > 0
         assert stats["p50_ms"] <= stats["p99_ms"]
+        # Device-vs-relay split evidence (VERDICT r2 next #8): the bench
+        # must report how much of the wall-clock sat inside synchronous
+        # device calls and how big the formed batches were.
+        assert stats["device_batches"] > 0
+        assert stats["mean_batch_size"] >= 1.0
+        assert stats["mean_call_ms"] > 0
+        assert stats["call_concurrency"] >= 0
