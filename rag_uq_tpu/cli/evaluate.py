@@ -164,13 +164,18 @@ def _predict_batch(
         chunk_q = questions[s : s + ret_chunk]
         # Router candidate pool at the width it was TRAINED on (the
         # reference's num_passages=20 protocol, router.py:520-561 /
-        # train_router.py). The pool rows arrive fixed-fusion-ordered, so
-        # when fixed fusion mis-ranks a dense-only gold to position
-        # top_k..P the router can still rescue it; results are cut back to
-        # top_k below so metrics stay comparable across arms.
+        # train_router.py). With a router, the pool is selected "balanced"
+        # (both towers' top ~P/2 survive; the router's serving-time candidate
+        # policy) so a dense-only gold that fixed fusion mis-ranks past P can
+        # still be rescued. WITHOUT a router this path is the reference's
+        # fixed-fusion protocol and must use the fused pool head verbatim
+        # (streaming_index.py:510-521) — a balanced pool can drop a
+        # both-towers-mediocre candidate that fused ranking keeps, which
+        # would silently change the no-router baseline.
         pool_p = max(20, 2 * top_k)
         bm25, dense, c_ids, c_texts = retriever.get_scores_for_router_batch(
-            chunk_q, num_passages=pool_p, pool_order="balanced"
+            chunk_q, num_passages=pool_p,
+            pool_order="balanced" if router is not None else "fused",
         )
         if router is not None:
             router.eval()
@@ -470,7 +475,9 @@ def run_evaluation(
     router_decisions = oracle_decisions = None
     if router_weights:
         router_decisions = [1 if w > 0.5 else 0 for w in router_weights]
-        oracle_decisions = _oracle_decisions(retriever, samples, top_k)
+        oracle_decisions = _oracle_decisions(
+            retriever, samples, top_k, gold=gold_ids
+        )
 
     results = evaluator.run_full_evaluation(
         retrieved_ids=retrieved_ids,
@@ -573,16 +580,21 @@ def run_ablation_study(
     eval_arm("bm25_only", ids_of(b_pos))
     _, d_pos = retriever.dense_index.search_batch(questions, top_k=top_k)
     eval_arm("dense_only", ids_of(d_pos))
-    # Candidate pool at the router's TRAINING width (num_passages=20,
-    # reference router.py:520-561): the pool arrives fixed-fusion-ordered,
-    # so fixed_hybrid is its head and the router arm may rerank golds up
-    # from positions top_k..P. Both arms report top_k lists.
+    # fixed_hybrid is the reference protocol verbatim: the head of the
+    # fused-ranked union pool (streaming_index.py:510-521). The router arm
+    # gets its own "balanced" candidate pool (both towers' top ~P/2 survive
+    # selection — the router's serving-time candidate policy); comparing the
+    # two arms therefore compares the full deployed policies, not two
+    # rerankings of one pool. Both arms report top_k lists.
     pool_p = max(20, 2 * top_k)
-    bm25, dense, ids, _ = retriever.get_scores_for_router_batch(
-        questions, num_passages=pool_p, pool_order="balanced"
+    _, _, f_ids, _ = retriever.get_scores_for_router_batch(
+        questions, num_passages=pool_p, pool_order="fused"
     )
-    eval_arm("fixed_hybrid", [[i for i in row[:top_k] if i] for row in ids])
+    eval_arm("fixed_hybrid", [[i for i in row[:top_k] if i] for row in f_ids])
     if router is not None:
+        bm25, dense, ids, _ = retriever.get_scores_for_router_batch(
+            questions, num_passages=pool_p, pool_order="balanced"
+        )
         router.eval()
         w = np.asarray(router.forward(bm25, dense, update_stats=False))
         hybrid = w * dense + (1 - w) * bm25

@@ -169,10 +169,17 @@ class QueryService:
             if first.documents is not None:
                 # Barrier: wait for every in-flight search, mutate, then
                 # rebuild the device state on THIS thread before dispatchers
-                # resume — no search can observe a half-built sync.
+                # resume — no search can observe a half-built sync. Re-check
+                # _stop each wait: a wedged device call would otherwise pin
+                # this thread (and the unreleased _Pending) forever after
+                # close().
                 with self._inflight_cv:
-                    while self._inflight > 0:
+                    while self._inflight > 0 and not self._stop.is_set():
                         self._inflight_cv.wait(timeout=1.0)
+                if self._stop.is_set():
+                    first.result = {}
+                    first.event.set()
+                    break
                 self._run_ingest(first)
                 try:
                     self.retriever._fused_state()
@@ -197,7 +204,24 @@ class QueryService:
                     deadline_passed = True
             with self._inflight_cv:
                 self._inflight += 1
-            self._work.put(batch)
+            # Bounded put with _stop re-checks (the bounded _work queue can
+            # stay full indefinitely if dispatchers wedge on the device).
+            placed = False
+            while not self._stop.is_set():
+                try:
+                    self._work.put(batch, timeout=1.0)
+                    placed = True
+                    break
+                except queue.Full:
+                    continue
+            if not placed:
+                with self._inflight_cv:
+                    self._inflight -= 1
+                    self._inflight_cv.notify_all()
+                for req in batch:
+                    req.result = [[] for _ in req.queries]
+                    req.event.set()
+                break
         if carry is not None:
             carry.result = {}
             carry.event.set()

@@ -110,9 +110,18 @@ def eval_extraction(
         for _ in range(n_distractors):
             if hard_pools is not None and hard_pools[i]:
                 pool = hard_pools[i]
-            else:
+            elif distractor_texts:
                 pool = distractor_texts
-            parts.append(pool[int(rng.integers(len(pool)))])
+            else:
+                continue  # no distractor source for this sample
+            # Pools include the gold article (shared per world/kind);
+            # reject it at draw time so a "hard distractor" is never a
+            # gold duplicate that makes the example easier.
+            for _attempt in range(4):
+                cand = pool[int(rng.integers(len(pool)))]
+                if cand != s["context"]:
+                    parts.append(cand)
+                    break
         rng.shuffle(parts)
         contexts.append(" ".join(parts))
 

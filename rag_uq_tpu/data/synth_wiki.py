@@ -28,6 +28,7 @@ TinyLM fine-tuning, the experiment pipeline, and the parity harness.
 from __future__ import annotations
 
 import logging
+import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -507,9 +508,19 @@ def generate_world(
     if alias_questions_per_entity > 0:
         # Independent stream: adding aliases must not perturb the base world.
         arng = np.random.default_rng((seed ^ 0xA11A5) & 0x7FFFFFFF)
+        # The alias must appear in NO article text or the semantic slice
+        # gains a lexical bridge (BM25 stops failing by construction). The
+        # uniqueness set therefore holds EVERY word visible in any article
+        # — river/landmark/country/work names, author first/last words,
+        # template vocabulary — not just entity names. _name() output is
+        # capitalize()-form, so storing each token's capitalize()-form makes
+        # the exact-membership check case-insensitive in effect.
         taken = {e.name for e in entities}
         for word_set in (_OCCUPATIONS, _GENRES, _HABITATS, _DIETS):
             taken.update(word_set)
+        for art in articles:
+            for tok in re.findall(r"[A-Za-z]+", art["text"]):
+                taken.add(tok.capitalize())
         for i, ent in enumerate(entities):
             ent.alias = (
                 f"{_unique_name(arng, taken, 2)} {_unique_name(arng, taken, 2)}"

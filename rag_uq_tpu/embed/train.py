@@ -17,7 +17,7 @@ pseudo-queries over raw corpus text, the same trick bench.py uses).
 Data-parallel scaling: `make_train_step(mesh=...)` shards the pair batch
 over the mesh's data axis with params replicated; XLA inserts the gradient
 psum over ICI. Exercised on the 8-device virtual mesh by
-tests/test_encoder_train.py::test_mesh_dp_train_step.
+tests/test_encoder_train.py (TestContrastiveTrainer::test_dp_train_step_on_mesh).
 """
 
 from __future__ import annotations

@@ -425,10 +425,12 @@ class BM25Index:
         )
         low_terms = np.nonzero(low_mask)[0]
         n_low = int(low_terms.shape[0])
-        block_bytes = (n_low + 1) * 2 * beam_cap * 4
+        # Budget the ACTUAL allocation (pow2-grown row count), not the raw
+        # n_low+1 — otherwise the device array can be nearly 2x the knob.
+        lcap = _next_pow2(n_low + 1, floor=8)
+        block_bytes = lcap * 2 * beam_cap * 4
         low_blocks = low_row = None
         if block_bytes <= self.config.low_block_budget_bytes:
-            lcap = _next_pow2(n_low + 1, floor=8)
             low_blocks = np.zeros((lcap, 2, beam_cap), dtype=np.int32)
             # Padding entries point OUT OF BOUNDS (doc = ncap): the scatter
             # drops them (mode="drop") instead of accumulating +0.0 into doc

@@ -135,15 +135,25 @@ def encode_qa_examples(
                 budget = seq_len - len((" " + answer).encode()) - 2 - base
             for _ in range(n_d):
                 if hard_pool is not None and rng.random() < hard_fraction:
-                    cand = hard_pool[int(rng.integers(len(hard_pool)))]
+                    pool = hard_pool
                 elif distractor_texts:
-                    cand = distractor_texts[
-                        int(rng.integers(len(distractor_texts)))
-                    ]
+                    pool = distractor_texts
                 elif hard_pool is not None:
-                    cand = hard_pool[int(rng.integers(len(hard_pool)))]
+                    pool = hard_pool
                 else:
                     break
+                # Same-kind pools are built from ALL world articles, so the
+                # gold itself is a member: reject it at draw time (a gold
+                # duplicate is not a distractor — it makes the example
+                # easier, the opposite of the curriculum's point).
+                cand = None
+                for _attempt in range(4):
+                    c = pool[int(rng.integers(len(pool)))]
+                    if c != gold_ctx:
+                        cand = c
+                        break
+                if cand is None:
+                    continue
                 if budget is not None:
                     cost = len(cand.encode()) + 1
                     if cost > budget:

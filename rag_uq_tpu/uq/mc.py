@@ -152,11 +152,9 @@ class MCDropoutConfidence:
                 ))
         results = []
         for i in range(n):
-            answers = [
-                a.strip()
-                for a in raw[i * self.n_samples : (i + 1) * self.n_samples]
-                if a and a.strip()
-            ]
+            group = raw[i * self.n_samples : (i + 1) * self.n_samples]
+            keep = [j for j, a in enumerate(group) if a and a.strip()]
+            answers = [group[j].strip() for j in keep]
             r = self._result_from_answers(answers)
             if scored:
                 # Sequence-likelihood disagreement across the K stochastic
@@ -164,12 +162,20 @@ class MCDropoutConfidence:
                 # mean or high spread flags decodes the model itself finds
                 # unlikely — a calibration feature the answer TEXTS can't
                 # expose (two different-but-plausible spans look alike to
-                # embedding variance).
+                # embedding variance). Restricted to the same non-blank
+                # subset the text features use (agreement_rate, answer_len_*)
+                # so every feature row shares one denominator; a blank
+                # decode's 0.0 placeholder would otherwise read as maximal
+                # confidence.
                 ex = np.asarray(
-                    lps[i * self.n_samples : (i + 1) * self.n_samples]
+                    [lps[i * self.n_samples + j] for j in keep]
                 )
-                r.metadata["sample_lp_mean"] = float(ex.mean())
-                r.metadata["sample_lp_spread"] = float(ex.std())
+                r.metadata["sample_lp_mean"] = (
+                    float(ex.mean()) if ex.size else -10.0
+                )
+                r.metadata["sample_lp_spread"] = (
+                    float(ex.std()) if ex.size else 0.0
+                )
             results.append(r)
         return results
 

@@ -527,3 +527,33 @@ class TestActiveCompaction:
                                        sparse_mode="twotier")
         np.testing.assert_allclose(sv, tv, rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(sp, tp)
+
+
+class TestLowBlockBudgetPow2:
+    def test_budget_caps_actual_pow2_allocation(self):
+        from rag_uq_tpu.core.config import BM25Config
+
+        """Regression (round-3 review): the low-block byte-budget gate
+        checked (n_low+1) rows while allocating next_pow2(n_low+1) rows, so
+        the device array could be nearly 2x the knob. The gate now budgets
+        the pow2-grown allocation. 16 low-tier terms -> 17 raw rows (8704 B
+        at beam 64) but lcap=32 rows (16384 B); a 10 kB budget must refuse
+        the layout."""
+        words = [f"term{i}" for i in range(16)]
+        docs = [Document(str(i), " ".join(words[i % 16] for _ in range(3)))
+                for i in range(20)]
+        lo = BM25Index(config=BM25Config(
+            impact_dtype="float32", low_block_budget_bytes=10_000,
+        ))
+        lo.add_documents(docs)
+        assert "low_blocks" not in lo._sync(), (
+            "pow2-grown allocation exceeds the byte budget"
+        )
+        hi = BM25Index(config=BM25Config(
+            impact_dtype="float32", low_block_budget_bytes=20_000,
+        ))
+        hi.add_documents(docs)
+        dev = hi._sync()
+        assert "low_blocks" in dev
+        blk = dev["low_blocks"]
+        assert blk.shape[0] * 2 * blk.shape[2] * 4 <= 20_000

@@ -3,6 +3,7 @@ evaluate, pipeline, and the serving engine."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -302,6 +303,41 @@ class TestServeRobustness:
         service.close()
         with pytest.raises(RuntimeError):
             service.search(["topic2"], k=1)
+
+    def test_close_releases_ingest_blocked_on_wedged_inflight(
+        self, corpus_path, tmp_path
+    ):
+        """Regression (round-3 review): the ingest barrier waited on
+        _inflight with no _stop re-check, so a wedged device call pinned the
+        aggregator thread (and the queued ingest _Pending) forever after
+        close(). Simulate the wedge by holding the inflight count high."""
+        from rag_uq_tpu.core.types import Document
+
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+        service.search(["topic1"], k=1)  # warm
+        with service._inflight_cv:
+            service._inflight += 1  # a dispatcher that never returns
+        got = {}
+
+        def do_ingest():
+            try:
+                got["result"] = service.ingest(
+                    [Document("wedge_doc", "wedged ingest text")]
+                )
+            except RuntimeError as e:
+                got["error"] = e
+
+        t = threading.Thread(target=do_ingest, daemon=True)
+        t.start()
+        time.sleep(0.3)  # let the ingest reach the barrier
+        service.close()
+        t.join(timeout=10)
+        assert not t.is_alive(), "ingest never released after close()"
+        assert got, "ingest neither returned nor raised"
 
     def test_string_queries_treated_as_one_query(self, corpus_path, tmp_path):
         retriever = build_index_from_jsonl(

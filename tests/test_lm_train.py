@@ -175,3 +175,66 @@ class TestCurriculumEncoding:
                                     min_distractors=0, max_distractors=2,
                                     hard_distractors=None, fit_budget=False)
         assert (a1 == a2).all() and (m1 == m2).all()
+
+
+class TestGoldNotItsOwnDistractor:
+    """Regression (round-3 review): same-kind pools are built from ALL world
+    articles, so the gold passage was drawable as its own 'distractor' —
+    making hard-distractor training/eval examples EASIER ~1/pool-size of
+    the time. Draws now reject the gold at selection time."""
+
+    def _samples(self, n=12):
+        return [
+            {"question": f"What is fact {i}?",
+             "answers": [f"value{i}"],
+             "context": f"Entity {i} is described here. Fact {i} is value{i}."}
+            for i in range(n)
+        ]
+
+    def test_encode_rejects_gold_duplicate(self):
+        from rag_uq_tpu.llm.train import encode_qa_examples
+
+        samples = self._samples()
+        # Pool of 2: the gold itself and a marker. Rejection must always
+        # pick the marker (or, on pathological rng, skip the draw) — the
+        # gold may never appear twice in one row.
+        pools = [[s["context"], "HARDMARKER alpha beta"] for s in samples]
+        data, _ = encode_qa_examples(
+            samples, seq_len=512, seed=0, distractor_texts=None,
+            min_distractors=2, max_distractors=2,
+            hard_distractors=pools, hard_fraction=1.0,
+        )
+        assert data.shape[0] == len(samples)
+        for row, s in zip(data, samples):
+            text = bytes(b for b in row.tolist() if 0 < b < 256).decode(
+                "utf-8", errors="ignore"
+            )
+            assert text.count(s["context"]) == 1
+
+    def test_eval_extraction_rejects_gold_and_survives_empty_pool(self):
+        from rag_uq_tpu.cli.train_lm import eval_extraction
+
+        seen_prompts: list = []
+
+        class EchoLM:
+            def generate_batch(self, prompts, t, p, max_tokens=40, seed=None):
+                seen_prompts.extend(prompts)
+                return ["value0"] * len(prompts)
+
+        samples = self._samples(4)
+        # Per-sample pools: [gold+marker, gold-only, EMPTY, marker]; no
+        # global distractor_texts. The empty pool previously crashed with
+        # TypeError (len(None)); the gold-only pool must add nothing.
+        pools = [
+            [samples[0]["context"], "HARDMARKER one"],
+            [samples[1]["context"]],
+            [],
+            ["HARDMARKER two"],
+        ]
+        out = eval_extraction(
+            EchoLM(), samples, distractor_texts=None, n_distractors=2,
+            hard_pools=pools,
+        )
+        assert out["n_test"] == 4
+        for prompt, s in zip(seen_prompts, samples):
+            assert prompt.count(s["context"]) == 1

@@ -135,3 +135,30 @@ class TestWorld:
         assert len(rows) == 30 and all("text" in r for r in rows)
         qa = load_qa_jsonl(str(tmp_path / "qa.jsonl"))
         assert len(qa) == n_qas and all(q["gold_doc_ids"] for q in qa)
+
+
+class TestAliasArticleDisjointness:
+    def test_alias_words_absent_from_article_tokens_at_scale(self):
+        # Regression (round-3 review): the alias uniqueness set originally
+        # held only entity names + 4 attribute word-lists, so alias words
+        # could collide with OTHER article-visible generated words (rivers,
+        # landmarks, countries, work titles, author name words) — handing a
+        # 'semantic' question a lexical BM25 bridge. The set now covers
+        # every token of every article text, case-insensitively. Checked
+        # with regex tokens (whitespace splitting keeps punctuation glued
+        # to words and misses e.g. "Fobur," vs alias "fobur").
+        import re
+
+        for seed in (3, 11):
+            w = generate_world(800, seed=seed, alias_questions_per_entity=1)
+            art_tokens = set()
+            for a in w.articles:
+                art_tokens.update(
+                    t.lower() for t in re.findall(r"[A-Za-z]+", a["text"])
+                )
+            for e in w.entities:
+                for word in e.alias.split():
+                    assert word.lower() not in art_tokens, (
+                        f"alias word {word!r} (seed {seed}) appears in an "
+                        "article: the semantic slice is contaminated"
+                    )

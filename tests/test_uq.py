@@ -363,3 +363,38 @@ class TestIsotonicAndLogistic:
         w = fit_logistic(x, np.ones(20, dtype=bool))
         p = apply_logistic(x, w)
         assert np.all(np.isfinite(p)) and np.all((p > 0) & (p < 1))
+
+
+class TestSampleLpFiltering:
+    def test_lp_stats_exclude_blank_decodes(self):
+        """Regression (round-3 review): sample_lp_mean/spread spanned all K
+        raw samples while the text features (agreement_rate, answer_len_*)
+        use only non-blank decodes — and a blank decode's 0.0 logprob
+        placeholder reads as maximal confidence. The stats now share the
+        text features' non-blank subset."""
+        import pytest as _pytest
+
+        from rag_uq_tpu.uq.mc import MCDropoutConfidence
+
+        class ScoredBlankLLM:
+            # K=4 per query: samples 1 and 3 decode to whitespace with the
+            # 0.0 placeholder; the real decodes carry mean logprob -1.0.
+            def generate_batch_scored(self, prompts, t, p, max_tokens=100,
+                                      seed=None):
+                texts, mlp, mnlp = [], [], []
+                for i in range(len(prompts)):
+                    if i % 4 in (1, 3):
+                        texts.append("   "); mlp.append(0.0); mnlp.append(0.0)
+                    else:
+                        texts.append("ans"); mlp.append(-1.0); mnlp.append(-2.0)
+                return texts, mlp, mnlp
+
+            def generate_batch(self, prompts, t, p, max_tokens=100, seed=None):
+                return self.generate_batch_scored(
+                    prompts, t, p, max_tokens, seed
+                )[0]
+
+        mc = MCDropoutConfidence(ScoredBlankLLM(), n_samples=4, seed=0)
+        r = mc.get_confidence_batch("Answer:", ["ctx"], ["q"])[0]
+        assert r.metadata["sample_lp_mean"] == _pytest.approx(-1.0)
+        assert r.metadata["sample_lp_spread"] == _pytest.approx(0.0)
