@@ -130,6 +130,41 @@ def _oracle_decisions(
     return out
 
 
+def _router_pool_width(router: RetrievalRouter, top_k: int) -> int:
+    """Candidate-pool width for a router serving path: the width the gate
+    was trained on (num_passages=20 reference protocol), widened only when
+    more results than that are requested (the tail is then NOT router-scored
+    — see _router_order). Advisor r3: max(20, 2*top_k) silently widened the
+    gate's per-column input distribution for top_k > 10."""
+    trained = getattr(router, "trained_num_passages", None) or 20
+    return max(trained, top_k)
+
+
+def _router_order(
+    router: RetrievalRouter, bm25: np.ndarray, dense: np.ndarray
+) -> tuple:
+    """Router rerank clamped to the trained pool width.
+
+    Scores only the first `trained_num_passages` columns (the fused-order
+    head of the balanced pool — the distribution the gate was trained on)
+    and reranks that head; any tail columns keep their pool order after the
+    head. Returns (weights [B, head], order [B, P])."""
+    P = bm25.shape[1]
+    head = min(getattr(router, "trained_num_passages", None) or P, P)
+    router.eval()
+    w = np.asarray(
+        router.forward(bm25[:, :head], dense[:, :head], update_stats=False)
+    )
+    hybrid = w * dense[:, :head] + (1 - w) * bm25[:, :head]
+    order = np.argsort(-hybrid, axis=1)
+    if head < P:
+        tail = np.broadcast_to(
+            np.arange(head, P), (bm25.shape[0], P - head)
+        )
+        order = np.concatenate([order, tail], axis=1)
+    return w, order
+
+
 def _predict_batch(
     retriever: HybridRetriever,
     samples: Sequence[dict],
@@ -172,16 +207,20 @@ def _predict_batch(
         # (streaming_index.py:510-521) — a balanced pool can drop a
         # both-towers-mediocre candidate that fused ranking keeps, which
         # would silently change the no-router baseline.
-        pool_p = max(20, 2 * top_k)
+        pool_p = (
+            _router_pool_width(router, top_k)
+            if router is not None
+            else max(20, 2 * top_k)
+        )
         bm25, dense, c_ids, c_texts = retriever.get_scores_for_router_batch(
             chunk_q, num_passages=pool_p,
             pool_order="balanced" if router is not None else "fused",
         )
         if router is not None:
-            router.eval()
-            weights = np.asarray(router.forward(bm25, dense, update_stats=False))
-            hybrid = weights * dense + (1 - weights) * bm25
-            order = np.argsort(-hybrid, axis=1)
+            weights, order = _router_order(router, bm25, dense)
+            head = weights.shape[1]
+            # Ranking-score features come from the router-scored head.
+            hybrid = weights * dense[:, :head] + (1 - weights) * bm25[:, :head]
             c_ids = [[row[j] for j in order[i]] for i, row in enumerate(c_ids)]
             c_texts = [[row[j] for j in order[i]] for i, row in enumerate(c_texts)]
             router_weights.extend(float(w) for w in weights.mean(axis=1))
@@ -435,20 +474,34 @@ def run_evaluation(
                 },
             }
 
-        def sel_brier(c) -> float:
+        def sel_brier(c) -> Optional[float]:
             if n_cal == n_fit:
-                return 0.0
+                return None
             return float(np.mean((c["cal_sel"] - cal_y[n_fit:]) ** 2))
 
-        method = min(candidates, key=lambda m: sel_brier(candidates[m]))
+        # Advisor r3: with an empty holdout tail every candidate scored an
+        # identical 0.0 and min() silently picked by dict order. Make the
+        # degenerate case explicit: no tail -> default to platt and say so.
+        if n_cal == n_fit:
+            method = "platt"
+            selection_note = (
+                "degenerate: calibration holdout tail empty (n_cal == n_fit); "
+                "defaulted to platt"
+            )
+        else:
+            method = min(candidates, key=lambda m: sel_brier(candidates[m]))
+            selection_note = (
+                f"brier on calibration holdout tail ({n_cal - n_fit} examples)"
+            )
         confidences = [float(c) for c in candidates[method]["test"]]
         scaling_info = {
             "method": method,
-            "selection": "brier on calibration holdout tail "
-                         f"({n_cal - n_fit} examples)",
+            "selection": selection_note,
             "candidates": {
                 m: {
-                    "holdout_brier": round(sel_brier(c), 4),
+                    "holdout_brier": (
+                        None if sel_brier(c) is None else round(sel_brier(c), 4)
+                    ),
                     **c["params"],
                 }
                 for m, c in candidates.items()
@@ -586,23 +639,54 @@ def run_ablation_study(
     # selection — the router's serving-time candidate policy); comparing the
     # two arms therefore compares the full deployed policies, not two
     # rerankings of one pool. Both arms report top_k lists.
-    pool_p = max(20, 2 * top_k)
+    pool_p = (
+        _router_pool_width(router, top_k)
+        if router is not None
+        else max(20, 2 * top_k)
+    )
     _, _, f_ids, _ = retriever.get_scores_for_router_batch(
         questions, num_passages=pool_p, pool_order="fused"
     )
     eval_arm("fixed_hybrid", [[i for i in row[:top_k] if i] for row in f_ids])
+    # fixed_hybrid_balanced: fixed mean fusion over the SAME balanced pool
+    # the router arm uses (advisor r3 medium finding). The router arm changes
+    # two variables vs fixed_hybrid — the gate AND the candidate pool; this
+    # control isolates them: learned_router − fixed_hybrid_balanced is the
+    # gate's contribution, fixed_hybrid_balanced − fixed_hybrid is the pool
+    # policy's.
+    bal_b, bal_d, bal_ids, _ = retriever.get_scores_for_router_batch(
+        questions, num_passages=pool_p, pool_order="balanced"
+    )
+    max_b = np.maximum(bal_b.max(axis=1, keepdims=True), 1e-12)
+    max_d = np.maximum(bal_d.max(axis=1, keepdims=True), 1e-12)
+    bal_fused = (bal_b / max_b + bal_d / max_d) / 2.0
+    bal_order = np.argsort(-bal_fused, axis=1)
+    eval_arm(
+        "fixed_hybrid_balanced",
+        [[bal_ids[i][j] for j in bal_order[i] if bal_ids[i][j]][:top_k]
+         for i in range(len(bal_ids))],
+    )
+    # oracle_router: per-query best SINGLE arm (the routing ceiling a binary
+    # bm25/dense gate could reach; VERDICT r3 next #5). Decision source is
+    # _oracle_decisions (gold reciprocal rank per arm); ties take either arm
+    # (identical RR by construction). Publishing this makes the router's
+    # decision accuracy convertible into "captures X% of the oracle's MRR
+    # headroom over the best fixed arm". Reference metric seam:
+    # eval_protocol.py:294-296.
+    oracle = _oracle_decisions(
+        retriever, samples, top_k, gold=gold, b_pos=b_pos, d_pos=d_pos
+    )
+    b_ids_all, d_ids_all = ids_of(b_pos), ids_of(d_pos)
+    eval_arm(
+        "oracle_router",
+        [d_ids_all[i] if oracle[i] == 1 else b_ids_all[i]
+         for i in range(len(questions))],
+    )
     if router is not None:
-        bm25, dense, ids, _ = retriever.get_scores_for_router_batch(
-            questions, num_passages=pool_p, pool_order="balanced"
-        )
-        router.eval()
-        w = np.asarray(router.forward(bm25, dense, update_stats=False))
-        hybrid = w * dense + (1 - w) * bm25
-        order = np.argsort(-hybrid, axis=1)
+        ids = bal_ids
+        # Rerank clamped to the gate's trained pool width (advisor r3).
+        w, order = _router_order(router, bal_b, bal_d)
         # Router-vs-oracle accuracy, reusing the single-arm results above.
-        oracle = _oracle_decisions(
-            retriever, samples, top_k, gold=gold, b_pos=b_pos, d_pos=d_pos
-        )
         decisions = [1 if float(x) > 0.5 else 0 for x in w.mean(axis=1)]
         eval_arm(
             "learned_router",
@@ -611,6 +695,23 @@ def run_ablation_study(
             router_decisions=decisions,
             oracle_decisions=oracle,
         )
+        # Headroom capture summary: what fraction of the oracle's MRR gain
+        # over the best fixed arm does the learned router realize?
+        best_fixed = max(
+            arms[a]["mrr"] for a in
+            ("bm25_only", "dense_only", "fixed_hybrid", "fixed_hybrid_balanced")
+        )
+        oracle_gain = arms["oracle_router"]["mrr"] - best_fixed
+        router_gain = arms["learned_router"]["mrr"] - best_fixed
+        arms["headroom"] = {
+            "best_fixed_mrr": best_fixed,
+            "oracle_mrr": arms["oracle_router"]["mrr"],
+            "router_mrr": arms["learned_router"]["mrr"],
+            "oracle_headroom": oracle_gain,
+            "router_capture": (
+                router_gain / oracle_gain if oracle_gain > 1e-9 else None
+            ),
+        }
 
     Path(output_dir).mkdir(parents=True, exist_ok=True)
     with open(Path(output_dir) / "ablation_results.json", "w") as f:

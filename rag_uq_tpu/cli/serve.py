@@ -183,7 +183,11 @@ class QueryService:
                 self._run_ingest(first)
                 try:
                     self.retriever._fused_state()
-                except Exception:  # pragma: no cover - next search resyncs
+                except Exception:  # pragma: no cover
+                    # Next search resyncs lazily; _fused_state's internal
+                    # lock serializes that rebuild across dispatcher threads
+                    # (advisor r3: concurrent lazy resyncs could tear the
+                    # host/device buffers).
                     pass
                 continue
             batch = [first]

@@ -12,6 +12,7 @@ benchmark and the sharded multi-chip search.
 from __future__ import annotations
 
 import logging
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -50,6 +51,12 @@ class HybridRetriever:
         # Host-side doc store for text lookup (reference :423). The two
         # indices append in the same order, so row positions coincide.
         self.documents: DocStore = self.dense_index.store
+        # Serializes the lazy fused-state rebuild: if a post-ingest rebuild
+        # fails, N concurrent searcher threads would otherwise each trigger
+        # the resync and concurrently mutate the BM25 host/device buffers
+        # (advisor r3, cli/serve.py). Uncontended acquire is ~100 ns —
+        # noise next to a device call.
+        self._fused_lock = threading.RLock()
 
     def __len__(self) -> int:
         return len(self.documents)
@@ -137,16 +144,27 @@ class HybridRetriever:
                 bm25._dirty,
             )
 
+        # Double-checked locking: the fast path (cache hit) stays lock-free;
+        # a needed rebuild is serialized so concurrent searchers can never
+        # tear the host/device buffers mid-sync.
         if getattr(self, "_fused_cache_key", None) != cache_key(self.bm25_index):
-            from rag_uq_tpu.retrieval.fused import build_index_state
+            with self._fused_lock:
+                if getattr(self, "_fused_cache_key", None) != cache_key(
+                    self.bm25_index
+                ):
+                    from rag_uq_tpu.retrieval.fused import build_index_state
 
-            allow_delta = self.bm25_index.config.delta_sync_fraction > 0
-            self._fused_state_cache = build_index_state(
-                self.dense_index, self.bm25_index, allow_delta=allow_delta
-            )
-            # Key recomputed AFTER the build: build_index_state syncs the
-            # index, bumping the generation it should be cached under.
-            self._fused_cache_key = cache_key(self.bm25_index)
+                    allow_delta = (
+                        self.bm25_index.config.delta_sync_fraction > 0
+                    )
+                    self._fused_state_cache = build_index_state(
+                        self.dense_index, self.bm25_index,
+                        allow_delta=allow_delta,
+                    )
+                    # Key recomputed AFTER the build: build_index_state syncs
+                    # the index, bumping the generation it should be cached
+                    # under.
+                    self._fused_cache_key = cache_key(self.bm25_index)
         return self._fused_state_cache
 
     def hybrid_search_batch(

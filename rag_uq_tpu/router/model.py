@@ -109,6 +109,12 @@ class RetrievalRouter:
         }
         self._training = False
         self._dropout_rng = jax.random.PRNGKey(seed + 1)
+        # Candidate-pool width the gate was trained on (set by RouterTrainer,
+        # persisted in checkpoint metadata). Serving paths clamp the router's
+        # scoring pool to this width so the per-column input distribution
+        # matches training (advisor r3: pool_p = max(20, 2*top_k) silently
+        # widened the pool for top_k > 10).
+        self.trained_num_passages: Optional[int] = None
 
     # -- torch-style mode switches -------------------------------------------
 

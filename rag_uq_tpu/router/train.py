@@ -167,6 +167,9 @@ class RouterTrainer:
         bm25_train, dense_train, rel_train = (
             np.asarray(a, dtype=np.float32) for a in train_data
         )
+        # Record the candidate-pool width the gate sees during training so
+        # serving can clamp its scoring pool to the same distribution.
+        self.router.trained_num_passages = int(bm25_train.shape[1])
         num_samples = bm25_train.shape[0]
         shuffle_rng = np.random.default_rng(self.config.seed)
 
@@ -227,6 +230,7 @@ class RouterTrainer:
             "config": vars(self.router.config),
             "train_config": vars(self.config),
             "lr": self._lr,
+            "trained_num_passages": self.router.trained_num_passages,
             "train_losses": self.train_losses,
             "val_losses": self.val_losses,
         }
@@ -252,4 +256,5 @@ class RouterTrainer:
             self.train_losses = meta.get("train_losses", [])
             self.val_losses = meta.get("val_losses", [])
             self._lr = meta.get("lr", self._lr)
+            self.router.trained_num_passages = meta.get("trained_num_passages")
         logger.info("Loaded checkpoint from %s", path)

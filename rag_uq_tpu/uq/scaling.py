@@ -170,6 +170,19 @@ def fit_isotonic(
     gs = np.concatenate([
         np.full(int(w_), v_ / w_) for v_, w_ in vals
     ])
+    # Collapse duplicate score knots (advisor r3): np.interp over repeated x
+    # values returns an arbitrary-sided value, so tied input scores that
+    # straddle a PAV block boundary could map through a discontinuity. Keep
+    # one knot per unique score with the weight-averaged fitted value (which
+    # preserves monotonicity: the average of a nondecreasing run lies
+    # between its neighbors' averages).
+    if xs.size > 1:
+        uniq, inv, counts = np.unique(xs, return_inverse=True,
+                                      return_counts=True)
+        if uniq.size < xs.size:
+            sums = np.zeros(uniq.size)
+            np.add.at(sums, inv, gs)
+            xs, gs = uniq, sums / counts
     return xs, gs
 
 

@@ -182,7 +182,14 @@ class TestEvaluateCLI:
             retriever, samples, llm=MockLLM(),
             output_dir=str(tmp_path / "ablation"),
         )
-        assert set(arms) == {"bm25_only", "dense_only", "fixed_hybrid"}
+        assert set(arms) == {
+            "bm25_only", "dense_only", "fixed_hybrid",
+            "fixed_hybrid_balanced", "oracle_router",
+        }
+        # The oracle arm is the per-query best single arm: its MRR can never
+        # fall below either single arm's.
+        assert arms["oracle_router"]["mrr"] >= arms["bm25_only"]["mrr"] - 1e-9
+        assert arms["oracle_router"]["mrr"] >= arms["dense_only"]["mrr"] - 1e-9
         from rag_uq_tpu.router.model import RetrievalRouter
 
         arms = run_ablation_study(
@@ -190,6 +197,47 @@ class TestEvaluateCLI:
             output_dir=str(tmp_path / "ablation2"),
         )
         assert "learned_router" in arms
+        hr = arms["headroom"]
+        assert hr["oracle_mrr"] == arms["oracle_router"]["mrr"]
+        assert hr["best_fixed_mrr"] >= arms["fixed_hybrid_balanced"]["mrr"] - 1e-9
+
+    def test_router_order_clamps_to_trained_width(self):
+        """_router_order scores only the trained head; tail columns keep
+        their pool order after the head (advisor r3 pool-width shift)."""
+        from rag_uq_tpu.cli.evaluate import _router_order, _router_pool_width
+        from rag_uq_tpu.router.model import RetrievalRouter
+
+        router = RetrievalRouter()
+        router.trained_num_passages = 4
+        rng = np.random.default_rng(0)
+        bm25 = rng.uniform(size=(3, 7))
+        dense = rng.uniform(size=(3, 7))
+        w, order = _router_order(router, bm25, dense)
+        assert w.shape == (3, 4)
+        assert order.shape == (3, 7)
+        # Head reranks within the first 4 columns; tail is fixed 4,5,6.
+        assert np.all(np.sort(order[:, :4], axis=1) == np.arange(4))
+        assert np.all(order[:, 4:] == np.arange(4, 7))
+        assert _router_pool_width(router, top_k=10) == 10
+        assert _router_pool_width(router, top_k=3) == 4
+        router.trained_num_passages = None
+        assert _router_pool_width(router, top_k=3) == 20
+
+    def test_router_checkpoint_persists_trained_width(self, tmp_path):
+        from rag_uq_tpu.data.loaders import synthetic_router_data
+        from rag_uq_tpu.router.model import RetrievalRouter
+        from rag_uq_tpu.router.train import RouterTrainer
+
+        router = RetrievalRouter()
+        trainer = RouterTrainer(router, checkpoint_dir=str(tmp_path))
+        data = synthetic_router_data(8, 6, seed=0)
+        trainer.fit(data, num_epochs=1, batch_size=4)
+        assert router.trained_num_passages == 6
+        path = str(tmp_path / "r.msgpack")
+        trainer.save_checkpoint(path)
+        router2 = RetrievalRouter()
+        RouterTrainer(router2).load_checkpoint(path)
+        assert router2.trained_num_passages == 6
 
 
 class TestPipeline:

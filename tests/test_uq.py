@@ -331,6 +331,21 @@ class TestIsotonicAndLogistic:
         assert out[0] <= out[1] <= out[2]
         assert np.all((out >= 0) & (out <= 1))
 
+    def test_isotonic_collapses_duplicate_knots(self):
+        """Tied input scores must map through ONE fitted value, not an
+        arbitrary side of a PAV block boundary (advisor r3)."""
+        from rag_uq_tpu.uq.scaling import apply_isotonic, fit_isotonic
+
+        # Score 0.5 appears with both labels so it straddles a block edge.
+        s = np.array([0.1, 0.5, 0.5, 0.5, 0.5, 0.9])
+        y = np.array([0.0, 0.0, 0.0, 1.0, 1.0, 1.0])
+        xs, gs = fit_isotonic(s, y)
+        assert len(np.unique(xs)) == len(xs), "duplicate knots survived"
+        assert np.all(np.diff(gs) >= -1e-12)  # still monotone
+        # The tied score maps to the weight-averaged block value (0.5 here).
+        out = apply_isotonic([0.5], xs, gs)
+        assert abs(out[0] - 0.5) < 1e-9
+
     def test_isotonic_recovers_step(self):
         from rag_uq_tpu.uq.scaling import apply_isotonic, fit_isotonic
 
