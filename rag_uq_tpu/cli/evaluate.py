@@ -175,13 +175,22 @@ def _predict_batch(
     top_k: int,
     context_passages: int,
     max_context_chars: int,
+    warm_start: bool = True,
 ) -> Dict:
     """Shared batched predict path: retrieval -> contexts -> generation ->
     confidence, for a sample list. Used for both the test set and the
-    labeled calibration split (Platt scaling)."""
+    labeled calibration split (Platt scaling).
+
+    With `warm_start` (default), each stage's first chunk runs once untimed
+    before the timed region, so XLA compile lands in `cold_start_ms` instead
+    of polluting the steady-state tail (VERDICT r3 weak #7: p99 was the
+    compile batch, 4968 ms vs p95 458 ms). Chunk widths bucket to fixed
+    sizes, so warming the first chunk warms every later chunk's executable.
+    """
     samples = list(samples)
     n = len(samples)
     questions = [s["question"] for s in samples]
+    cold_start: Dict[str, float] = {}
 
     # -- retrieval: chunked batched device passes + optional batched router
     # rerank. Each sub-batch is timed so per-query latency percentiles are
@@ -194,6 +203,21 @@ def _predict_batch(
     ids: List[List[str]] = []
     texts: List[List[str]] = []
     ret_chunk = 128
+    if warm_start and n:
+        t_w = time.time()
+        warm_q = questions[:ret_chunk]
+        warm_pool = (
+            _router_pool_width(router, top_k)
+            if router is not None
+            else max(20, 2 * top_k)
+        )
+        wb, wd, _, _ = retriever.get_scores_for_router_batch(
+            warm_q, num_passages=warm_pool,
+            pool_order="balanced" if router is not None else "fused",
+        )
+        if router is not None:
+            _router_order(router, wb, wd)
+        cold_start["retrieval_ms"] = (time.time() - t_w) * 1000.0
     for s in range(0, n, ret_chunk):
         t_r = time.time()
         chunk_q = questions[s : s + ret_chunk]
@@ -257,6 +281,21 @@ def _predict_batch(
     generation_times: List[float] = []
     scored = hasattr(llm, "generate_batch_scored")
     gen_chunk = 64
+    if warm_start and n:
+        t_w = time.time()
+        warm_prompts = [
+            "Answer the question based on the context. Be concise.\n\n"
+            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
+            for q, c in zip(questions[:gen_chunk], contexts[:gen_chunk])
+        ]
+        warm_t = [0.1] * len(warm_prompts)
+        warm_p = [0.9] * len(warm_prompts)
+        if scored:
+            llm.generate_batch_scored(warm_prompts, warm_t, warm_p,
+                                      max_tokens=100)
+        else:
+            llm.generate_batch(warm_prompts, warm_t, warm_p, max_tokens=100)
+        cold_start["generation_ms"] = (time.time() - t_w) * 1000.0
     for s in range(0, n, gen_chunk):
         t_g = time.time()
         chunk_q = questions[s : s + gen_chunk]
@@ -293,6 +332,14 @@ def _predict_batch(
         # One B*K-sample device program per chunk instead of B separate
         # K-sample calls.
         mc_chunk = max(1, 256 // max(mc.n_samples, 1))
+        if warm_start and n:
+            t_w = time.time()
+            mc.get_confidence_batch(
+                "Answer the question.",
+                contexts[:mc_chunk],
+                questions[:mc_chunk],
+            )
+            cold_start["mc_ms"] = (time.time() - t_w) * 1000.0
         for s in range(0, n, mc_chunk):
             for j, r in enumerate(mc.get_confidence_batch(
                 "Answer the question.",
@@ -347,6 +394,7 @@ def _predict_batch(
         "generation_times": generation_times,
         "retrieval_total": retrieval_total,
         "generation_total": generation_total,
+        "cold_start": cold_start,
     }
 
 
@@ -414,6 +462,7 @@ def run_evaluation(
         cal = _predict_batch(
             retriever, list(calibration_samples), llm, router, conformal, mc,
             top_k, context_passages, max_context_chars,
+            warm_start=False,  # test pass above already compiled everything
         )
         # Correctness = match against ANY gold alias (advisor finding r2:
         # first-alias-only labels bias the fitted p(correct|score) low and
@@ -548,6 +597,14 @@ def run_evaluation(
         latencies, retrieval_times=retrieval_times, generation_times=generation_times
     )
     results["efficiency"] = eff.to_dict()
+    # Cold-start (compile) cost reported as its own field, never inside the
+    # steady-state percentiles (VERDICT r3 weak #7). Schema seam:
+    # reference eval_protocol.py:469-505.
+    cold = pred.get("cold_start") or {}
+    results["efficiency"]["cold_start_ms"] = {
+        **{k: round(v, 1) for k, v in cold.items()},
+        "total": round(sum(cold.values()), 1),
+    }
     # Per-slice generation + end-to-end decomposition (where does EM go
     # relative to retrieval recall?): available whenever samples carry
     # `metadata.slice` labels, mirroring the ablation's by_slice contract.

@@ -176,6 +176,21 @@ class TestEvaluateCLI:
             assert row["n"] == 1
             assert 0.0 <= row["gold_in_context_rate"] <= 1.0
 
+    def test_cold_start_reported_separately(self, retriever, tmp_path):
+        """Warm-start pass moves compile cost into efficiency.cold_start_ms
+        instead of the steady-state percentiles (VERDICT r3 weak #7)."""
+        samples = [
+            {"question": f"topic{i} number {i}", "answers": [f"number {i}"]}
+            for i in range(4)
+        ]
+        results = run_evaluation(
+            retriever, samples, llm=MockLLM(["number 1"]),
+            output_dir=str(tmp_path / "results_cs"),
+        )
+        cs = results["efficiency"]["cold_start_ms"]
+        assert "retrieval_ms" in cs and "generation_ms" in cs
+        assert cs["total"] >= cs["retrieval_ms"]
+
     def test_ablation_arms(self, retriever, tmp_path):
         samples = [{"question": "topic1 number 6", "answers": ["number 6"]}]
         arms = run_ablation_study(
