@@ -99,14 +99,44 @@ def run_level(service, queries: List[str], concurrency: int,
     }
     if stats["batches"]:
         # Device-vs-relay split: mean synchronous device-call time per batch
-        # (dominated by relay RTT on this platform) and mean formed batch.
+        # (dominated by relay RTT on this platform), mean formed batch, and
+        # the mean per-request queue wait (submit -> device dispatch) —
+        # together with the artifact-level relay_rtt_floor_ms these
+        # decompose client latency into queue + relay + device.
         out["device_batches"] = stats["batches"]
         out["mean_batch_size"] = round(stats["queries"] / stats["batches"], 1)
         out["mean_call_ms"] = round(
             1000.0 * stats["call_seconds"] / stats["batches"], 1
         )
         out["call_concurrency"] = round(stats["call_seconds"] / wall, 2)
+        if stats["queries"]:
+            out["mean_queue_wait_ms"] = round(
+                1000.0 * stats.get("queue_wait_seconds", 0.0)
+                / stats["queries"], 1
+            )
     return out
+
+
+def measure_relay_rtt(n: int = 20) -> dict:
+    """Floor of one synchronous device round trip: time transferring a
+    single scalar from an already-materialized device array, n times. On
+    the relayed platform this is almost pure relay RTT (device work ~0);
+    it is the irreducible per-call latency every serving request pays."""
+    import jax.numpy as jnp
+
+    x = jnp.arange(8.0)
+    float(np.asarray(x[0]))  # materialize + first-transfer warmup
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        float(np.asarray(x[0]))
+        ts.append((time.time() - t0) * 1000.0)
+    a = np.asarray(ts)
+    return {
+        "relay_rtt_floor_ms_p50": round(float(np.percentile(a, 50)), 1),
+        "relay_rtt_floor_ms_mean": round(float(a.mean()), 1),
+        "n_probes": n,
+    }
 
 
 def main(argv=None) -> None:
@@ -156,6 +186,9 @@ def main(argv=None) -> None:
         b *= 2
     logger.info("bucket warmup in %.1fs", time.time() - t0)
 
+    rtt = measure_relay_rtt()
+    logger.info("relay RTT floor: %s", rtt)
+
     service = QueryService(retriever, tick_ms=args.tick_ms,
                            dispatch_workers=args.dispatch_workers)
     try:
@@ -173,6 +206,7 @@ def main(argv=None) -> None:
         "tick_ms": args.tick_ms,
         "dispatch_workers": args.dispatch_workers,
         "seconds_per_level": args.seconds,
+        **rtt,
         "levels": levels,
     }
     out = Path(args.out)

@@ -22,6 +22,7 @@ import json
 import logging
 import queue
 import threading
+import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
@@ -44,6 +45,9 @@ class _Pending:
     event: threading.Event = field(default_factory=threading.Event)
     result: Optional[Any] = None
     error: Optional[BaseException] = None
+    # Stamped at submit; _run_batch accumulates dispatch - submit into the
+    # queue-wait stat (the batching delay component of serving latency).
+    t_submit: float = 0.0
 
 
 class QueryService:
@@ -93,7 +97,10 @@ class QueryService:
         # Aggregate counters (read/reset by the serving bench): batches
         # formed, queries served, and seconds spent inside the synchronous
         # device call — the device-vs-relay split evidence.
-        self.stats = {"batches": 0, "queries": 0, "call_seconds": 0.0}
+        self.stats = {
+            "batches": 0, "queries": 0, "call_seconds": 0.0,
+            "queue_wait_seconds": 0.0,
+        }
         self._stats_lock = threading.Lock()
         self._dispatchers = [
             threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -130,6 +137,7 @@ class QueryService:
     def _submit(self, req: _Pending):
         if self._stop.is_set():
             raise RuntimeError("QueryService is closed")
+        req.t_submit = time.time()
         self._queue.put(req)
         # Bounded waits so a dead worker surfaces as an error, not a hang.
         while not req.event.wait(timeout=1.0):
@@ -255,7 +263,10 @@ class QueryService:
     def reset_stats(self) -> Dict[str, float]:
         with self._stats_lock:
             out = dict(self.stats)
-            self.stats = {"batches": 0, "queries": 0, "call_seconds": 0.0}
+            self.stats = {
+                "batches": 0, "queries": 0, "call_seconds": 0.0,
+                "queue_wait_seconds": 0.0,
+            }
         return out
 
     def _run_batch(self, batch: List[_Pending]) -> None:
@@ -267,6 +278,11 @@ class QueryService:
         k = max(req.k for req in batch)
         try:
             t0 = _time.time()
+            # Per-request batching delay: submit -> device dispatch.
+            qwait = sum(
+                (t0 - req.t_submit) * len(req.queries)
+                for req in batch if req.t_submit
+            )
             vals, pos = self.retriever.hybrid_search_batch(
                 all_queries, top_k=k, router=self.router,
                 sparse_mode=self.sparse_mode,
@@ -275,6 +291,7 @@ class QueryService:
                 self.stats["batches"] += 1
                 self.stats["queries"] += len(all_queries)
                 self.stats["call_seconds"] += _time.time() - t0
+                self.stats["queue_wait_seconds"] += qwait
             store = self.retriever.documents
             results: List[List[Dict[str, Any]]] = []
             for row_v, row_p in zip(vals, pos):

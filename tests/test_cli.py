@@ -570,3 +570,13 @@ class TestBenchServing:
         assert stats["mean_batch_size"] >= 1.0
         assert stats["mean_call_ms"] > 0
         assert stats["call_concurrency"] >= 0
+        # Queue-wait split (VERDICT r3 next #6): per-request submit ->
+        # dispatch delay, the batching component of client latency.
+        assert stats["mean_queue_wait_ms"] >= 0
+
+    def test_measure_relay_rtt(self):
+        from rag_uq_tpu.cli.bench_serving import measure_relay_rtt
+
+        rtt = measure_relay_rtt(n=3)
+        assert rtt["n_probes"] == 3
+        assert rtt["relay_rtt_floor_ms_p50"] >= 0
