@@ -89,6 +89,7 @@ def eval_extraction(
     distractor_texts: Optional[Sequence[str]] = None, n_distractors: int = 2,
     hard_pools: Optional[Sequence[Sequence[str]]] = None,
     seed: int = 11,
+    gold_first: bool = False,
 ) -> Dict[str, float]:
     """EM + answer-substring rate on unseen data.
 
@@ -98,7 +99,8 @@ def eval_extraction(
     retrieved passages), and the number that predicts pipeline EM. With
     `hard_pools` (per-sample confusable-passage lists), distractors come
     from the sample's pool instead — the hardest, most retrieval-like
-    setting.
+    setting. `gold_first` pins the gold passage to the front (the
+    recall@1-hit serving case) instead of shuffling it.
     """
     rng = np.random.default_rng(seed)
     contexts = []
@@ -122,7 +124,12 @@ def eval_extraction(
                 if cand != s["context"]:
                     parts.append(cand)
                     break
-        rng.shuffle(parts)
+        if gold_first:
+            rest = parts[1:]
+            rng.shuffle(rest)
+            parts = [parts[0]] + rest
+        else:
+            rng.shuffle(parts)
         contexts.append(" ".join(parts))
 
     prompts = [
@@ -164,6 +171,7 @@ def train_extractor(
     alias_q: int = 0,
     lookup_q: int = 0,
     oversample_lookup: int = 1,
+    gold_first_prob: float = 0.0,
 ) -> Dict:
     """Pretrain (or, with `curriculum`, continue training) the extractor.
 
@@ -227,6 +235,7 @@ def train_extractor(
             samples, seq_len, seed=seed, distractor_texts=distractors,
             min_distractors=1, max_distractors=3,
             hard_distractors=hard_pools, hard_fraction=0.5, fit_budget=True,
+            gold_first_prob=gold_first_prob,
         )
     else:
         data, masks = encode_qa_examples(
@@ -303,6 +312,28 @@ def train_extractor(
                 distractor_texts=[r["text"] for r in test_world.corpus_rows()],
                 hard_pools=lk_pools,
             )
+    # Alias (semantic-slice) splits: the question names an alias that
+    # appears in NO passage, so with same-kind confusables the gold is
+    # content-indistinguishable — shuffled vs gold-first separates the
+    # content skill from the serving position prior (r4 extraction gap).
+    metrics_alias = metrics_alias_first = None
+    if alias_q > 0:
+        alias_rows = [
+            r for r in all_rows if r["metadata"]["slice"] == "semantic"
+        ][:eval_n]
+        if alias_rows:
+            al_pools = [
+                by_kind[kind_of[r["gold_doc_ids"][0]]] for r in alias_rows
+            ]
+            corpus_texts = [r["text"] for r in test_world.corpus_rows()]
+            metrics_alias = eval_extraction(
+                lm, alias_rows, distractor_texts=corpus_texts,
+                hard_pools=al_pools,
+            )
+            metrics_alias_first = eval_extraction(
+                lm, alias_rows, distractor_texts=corpus_texts,
+                hard_pools=al_pools, gold_first=True,
+            )
 
     ckpt = str(out / "tiny_lm.msgpack")
     trainer.save_checkpoint(ckpt)
@@ -316,6 +347,9 @@ def train_extractor(
         "unseen_world_eval_distractors": metrics_distract,
         "unseen_world_eval_hard_distractors": metrics_hard,
         "unseen_world_eval_lookup_hard": metrics_lookup,
+        "unseen_world_eval_alias_hard": metrics_alias,
+        "unseen_world_eval_alias_hard_gold_first": metrics_alias_first,
+        "gold_first_prob": gold_first_prob,
         "curriculum": curriculum,
         "checkpoint": ckpt,
         "model_config": vars(model_cfg),
@@ -356,6 +390,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="replicate lookup-slice training rows this "
                         "many times (their natural rate is too low for "
                         "the hardest split to converge)")
+    parser.add_argument("--gold-first-prob", type=float, default=0.0,
+                        help="probability the curriculum places the gold "
+                        "passage FIRST (the serving-time retrieval-order "
+                        "prior; ~recall@1 of the deployment)")
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     print(json.dumps(train_extractor(
@@ -366,6 +404,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         init_from=args.init_from, curriculum=args.curriculum,
         alias_q=args.alias_q, lookup_q=args.lookup_q,
         oversample_lookup=args.oversample_lookup,
+        gold_first_prob=args.gold_first_prob,
     ), indent=2))
 
 

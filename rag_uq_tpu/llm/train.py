@@ -86,6 +86,7 @@ def encode_qa_examples(
     hard_distractors: Optional[Sequence[Sequence[str]]] = None,
     hard_fraction: float = 0.5,
     fit_budget: bool = False,
+    gold_first_prob: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """QA fine-tuning rows: [n, seq_len+1] byte ids + [n, seq_len] loss mask.
 
@@ -108,6 +109,16 @@ def encode_qa_examples(
     - `fit_budget=True`: add distractors only while the full prompt still
       fits `seq_len`, so the gold passage is never truncated away (a
       middle-trimmed gold makes the example unanswerable label noise).
+    - `gold_first_prob`: after the shuffle, move the gold passage to the
+      FRONT with this probability — the serving-time context is ordered by
+      retrieval score, where the gold leads ~recall@1 of the time. A
+      uniformly shuffled curriculum denies the model that position prior,
+      which is the ONLY disambiguator on alias (semantic-slice) questions:
+      the query entity name appears in no passage, so same-kind confusable
+      distractors are content-indistinguishable from the gold (round-4
+      extraction-gap decomposition). Keeping it < 1 preserves the
+      content-based selection skill on the examples where content does
+      disambiguate.
     """
     rng = np.random.default_rng(seed)
     rows: List[np.ndarray] = []
@@ -161,6 +172,8 @@ def encode_qa_examples(
                     budget -= cost
                 parts.append(cand)
             rng.shuffle(parts)
+            if gold_first_prob > 0.0 and rng.random() < gold_first_prob:
+                parts.insert(0, parts.pop(parts.index(gold_ctx)))
         header = QA_HEADERS[int(rng.integers(len(QA_HEADERS)))]
         target = (" " + answer).encode("utf-8")
         prompt = build_qa_prompt(question, " ".join(parts), header)

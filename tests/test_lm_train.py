@@ -59,6 +59,36 @@ class TestEncodeQA:
         text = bytes(t for t in rows[0].tolist() if 0 < t < 256).decode()
         assert "X is Ygg." in text  # gold context always present
 
+    def test_gold_first_prob_places_gold_at_front(self):
+        """gold_first_prob=1.0 pins the gold passage to the context front
+        (the serving-time retrieval-order prior); 0.0 keeps the uniform
+        shuffle (some rows must start with a distractor)."""
+        samples = [{"question": f"Who is X{i}?", "answers": [f"Y{i}"],
+                    "context": f"X{i} is Y{i}."} for i in range(24)]
+        distractors = ["AAA unrelated body.", "BBB other passage."]
+
+        def first_part(row) -> str:
+            text = bytes(t for t in row.tolist() if 0 < t < 256).decode()
+            ctx = text.split("Context:")[1].split("Question:")[0].strip()
+            # Prompt headers vary; context body is enough to inspect.
+            return ctx
+
+        rows, _ = encode_qa_examples(
+            samples, seq_len=200, seed=0, distractor_texts=distractors,
+            min_distractors=1, max_distractors=2, gold_first_prob=1.0,
+        )
+        assert all(
+            first_part(r).startswith(f"X{i} is") for i, r in enumerate(rows)
+        )
+        rows, _ = encode_qa_examples(
+            samples, seq_len=200, seed=0, distractor_texts=distractors,
+            min_distractors=1, max_distractors=2, gold_first_prob=0.0,
+        )
+        assert any(
+            not first_part(r).startswith(f"X{i} is")
+            for i, r in enumerate(rows)
+        )
+
     def test_long_context_trimming_keeps_tail(self):
         samples = [{"question": "Who is X?", "answers": ["Ygg"],
                     "context": "pad " * 200 + "X is Ygg."}]
