@@ -22,6 +22,8 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
+import sys
 import time
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
@@ -38,6 +40,17 @@ from rag_uq_tpu.uq.conformal import ConformalRAG
 from rag_uq_tpu.uq.mc import MCDropoutConfidence
 
 logger = logging.getLogger(__name__)
+
+
+def _trace(msg: str) -> None:
+    """Stage-progress trace for long eval runs, gated on RAG_UQ_EVAL_TRACE.
+
+    Hour-scale CPU evals (handwritten split, n>=1000 calibration) are
+    otherwise silent between 'index rebuilt' and the final summary, which
+    makes a wedged run indistinguishable from a slow one."""
+    if os.environ.get("RAG_UQ_EVAL_TRACE"):
+        print(f"[eval {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
 
 
 def generate_answer(llm, question: str, context: str, max_tokens: int = 100) -> str:
@@ -204,6 +217,7 @@ def _predict_batch(
     texts: List[List[str]] = []
     ret_chunk = 128
     if warm_start and n:
+        _trace(f"retrieval warm-start (n={n})")
         t_w = time.time()
         warm_q = questions[:ret_chunk]
         warm_pool = (
@@ -219,6 +233,7 @@ def _predict_batch(
             _router_order(router, wb, wd)
         cold_start["retrieval_ms"] = (time.time() - t_w) * 1000.0
     for s in range(0, n, ret_chunk):
+        _trace(f"retrieval chunk {s}/{n}")
         t_r = time.time()
         chunk_q = questions[s : s + ret_chunk]
         # Router candidate pool at the width it was TRAINED on (the
@@ -282,6 +297,7 @@ def _predict_batch(
     scored = hasattr(llm, "generate_batch_scored")
     gen_chunk = 64
     if warm_start and n:
+        _trace("generation warm-start")
         t_w = time.time()
         warm_prompts = [
             "Answer the question based on the context. Be concise.\n\n"
@@ -297,6 +313,7 @@ def _predict_batch(
             llm.generate_batch(warm_prompts, warm_t, warm_p, max_tokens=100)
         cold_start["generation_ms"] = (time.time() - t_w) * 1000.0
     for s in range(0, n, gen_chunk):
+        _trace(f"generation chunk {s}/{n}")
         t_g = time.time()
         chunk_q = questions[s : s + gen_chunk]
         chunk_c = contexts[s : s + gen_chunk]
@@ -333,6 +350,7 @@ def _predict_batch(
         # K-sample calls.
         mc_chunk = max(1, 256 // max(mc.n_samples, 1))
         if warm_start and n:
+            _trace("mc warm-start")
             t_w = time.time()
             mc.get_confidence_batch(
                 "Answer the question.",
@@ -341,6 +359,7 @@ def _predict_batch(
             )
             cold_start["mc_ms"] = (time.time() - t_w) * 1000.0
         for s in range(0, n, mc_chunk):
+            _trace(f"mc chunk {s}/{n}")
             for j, r in enumerate(mc.get_confidence_batch(
                 "Answer the question.",
                 contexts[s : s + mc_chunk],

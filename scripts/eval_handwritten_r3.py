@@ -18,6 +18,7 @@ Reuses the demo_full_r3 run's trained artifacts (encoder index, router,
 TinyLM). Writes results/handwritten_eval.json in the run dir.
 """
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -74,8 +75,12 @@ router = RetrievalRouter()
 RouterTrainer(router).load_checkpoint(str(WORK / "router/final_router.msgpack"))
 
 t0 = time.time()
+# HW_MC=0 skips the MC-dropout pass (8x the generation cost): this split's
+# quoted numbers are EM/F1/MRR/recall, not calibration, and on the 1-core
+# CPU host (TPU outage fallback) MC dominates the multi-hour wall-clock.
 results = run_evaluation(
-    retriever, samples, llm=llm, router=router, mc_samples=8,
+    retriever, samples, llm=llm, router=router,
+    mc_samples=int(os.environ.get("HW_MC", "8")),
     output_dir=str(WORK / "results/handwritten"),
 )
 print(f"evaluation in {time.time()-t0:.1f}s", flush=True)

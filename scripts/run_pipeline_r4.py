@@ -1,0 +1,42 @@
+"""Round-4 full-scale pipeline run.
+
+Changes vs runs/demo_full_r3 (VERDICT r3 next #5/#7):
+- test=1000 (was 200): the lookup ablation slice reaches n~55 (>=50, so its
+  MRR swings stop being noise) and every calibration bin reaches n>=30, making
+  MCE a resolvable number instead of a binomial-noise cap.
+- Router fit pool becomes samples[1500:] -- cal+test widen to 1500, so no
+  leakage into the wider test window (run_pipeline slices fit after cal+test).
+- alias_questions=3, lookup_questions=1: same mixed-register question family
+  as r3 (lexical/semantic/lookup splits), ablation arms on.
+
+Usage: python scripts/run_pipeline_r4.py [workdir]  (TPU; ~40-60 min)
+"""
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from rag_uq_tpu.cli.run_pipeline import run_pipeline
+
+workdir = sys.argv[1] if len(sys.argv) > 1 else "runs/demo_full_r4"
+t0 = time.time()
+summary = run_pipeline(
+    workdir=workdir,
+    scales={
+        "articles": 5000,
+        "nq": 3000,
+        "cal": 500,
+        "test": 1000,
+        "epochs": 50,
+        "lm_steps": 4000,
+        "enc_steps": 2000,
+    },
+    alias_questions=3,
+    lookup_questions=1,
+    run_ablation=True,
+    seed=0,
+)
+print(f"pipeline r4 done in {time.time()-t0:.0f}s", flush=True)
+print(json.dumps({k: v for k, v in summary.items() if k != "results"},
+                 indent=2, default=str))
