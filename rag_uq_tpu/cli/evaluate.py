@@ -639,10 +639,15 @@ def run_evaluation(
             g = evaluator.evaluate_generation(
                 [predictions[i] for i in idx], [references[i] for i in idx]
             )
+            r = evaluator.evaluate_retrieval(
+                [retrieved_ids[i] for i in idx], [gold_ids[i] for i in idx]
+            )
             by_slice[sl] = {
                 "n": len(idx),
                 "exact_match": g.exact_match,
                 "f1": g.f1,
+                "mrr": r.mrr,
+                "recall_at_10": r.recall_at_k.get(10),
                 "gold_in_context_rate": float(
                     np.mean([gold_in_ctx[i] for i in idx])
                 ),
@@ -653,6 +658,20 @@ def run_evaluation(
     if save:
         with open(Path(output_dir) / "evaluation_results.json", "w") as f:
             json.dump(results, f, indent=2)
+        # Per-example records so slices/conditions can be analyzed post-hoc
+        # without re-running the (generation-dominated) eval pass.
+        with open(Path(output_dir) / "predictions.jsonl", "w") as f:
+            for i, s in enumerate(samples):
+                f.write(json.dumps({
+                    "id": s.get("id"),
+                    "question": questions[i],
+                    "prediction": predictions[i],
+                    "references": all_answers[i],
+                    "retrieved_ids": list(retrieved_ids[i]),
+                    "gold_ids": list(gold_ids[i]),
+                    "confidence": float(confidences[i]),
+                    "slice": sl_labels[i] if sl_labels else None,
+                }) + "\n")
     return results
 
 
