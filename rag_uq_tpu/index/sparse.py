@@ -28,7 +28,7 @@ import numpy as np
 from rag_uq_tpu.core.config import BM25Config
 from rag_uq_tpu.core.types import DocStore, Document
 from rag_uq_tpu.ops import bm25 as bm25_ops
-from rag_uq_tpu.text.tokenize import Vocab, tokenize
+from rag_uq_tpu.text.tokenize import TOKENIZER_VERSION, Vocab, tokenize
 
 logger = logging.getLogger(__name__)
 
@@ -722,6 +722,7 @@ class BM25Index:
         meta = {
             "k1": self.k1,
             "b": self.b,
+            "tokenizer": TOKENIZER_VERSION,
             "terms": [self.vocab.term_of(i) for i in range(len(self.vocab))],
             "docs": [
                 {
@@ -742,6 +743,16 @@ class BM25Index:
             meta = json.load(f)
         self.k1 = meta["k1"]
         self.b = meta["b"]
+        saved_tok = meta.get("tokenizer", "v1-bare-split")
+        if saved_tok != TOKENIZER_VERSION:
+            # Already-indexed postings stay self-consistent, but new queries
+            # and newly added documents tokenize differently from the saved
+            # vocabulary — scores against old terms can silently degrade.
+            logger.warning(
+                "BM25 index %s was built with tokenizer %s (current: %s); "
+                "rebuild the index for consistent tokenization",
+                self.persist_path, saved_tok, TOKENIZER_VERSION,
+            )
         for term in meta["terms"]:
             self.vocab.add(term)
         if self._native is not None:

@@ -12,6 +12,12 @@
 //   - tokens split on ASCII whitespace (space, \t, \n, \r, \f, \v). Python's
 //     str.split() also splits on rare Unicode spaces; the Python fallback
 //     path remains the authority for non-ASCII-whitespace corpora.
+//   - ASCII punctuation is stripped from token EDGES (never the interior),
+//     and all-punctuation tokens are dropped — the documented deviation from
+//     the reference's bare split (text/tokenize.py docstring: a token
+//     mentioned sentence-finally could never match its clean query form).
+//     Multi-byte UTF-8 sequences contain no ASCII bytes, so the per-byte
+//     edge test is safe on Unicode text.
 //   - term ids are assigned in first-appearance order, mirroring the Python
 //     Vocab, so both sides stay in lockstep.
 //
@@ -50,6 +56,23 @@ struct Ctx {
 inline bool is_space(unsigned char c) {
   return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' ||
          c == '\v';
+}
+
+// ASCII byte that is neither a letter nor a digit: stripped from token
+// edges (mirrors Python's _EDGE_STRIP; text is pre-lowercased but A-Z is
+// accepted anyway for safety).
+inline bool is_edge_strip(unsigned char c) {
+  return c < 128 && !((c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') ||
+                      (c >= 'A' && c <= 'Z'));
+}
+
+// Trim stripped bytes from both edges of [tok, end); returns the trimmed
+// token (possibly empty).
+inline std::string_view trim_token(const char* tok, const char* end) {
+  while (tok < end && is_edge_strip(static_cast<unsigned char>(*tok))) ++tok;
+  while (end > tok && is_edge_strip(static_cast<unsigned char>(*(end - 1))))
+    --end;
+  return std::string_view(tok, static_cast<size_t>(end - tok));
 }
 
 }  // namespace
@@ -100,10 +123,10 @@ int64_t rag_add_documents(void* h, const char* buf, const int64_t* offsets,
       while (p < end && is_space(static_cast<unsigned char>(*p))) ++p;
       const char* tok = p;
       while (p < end && !is_space(static_cast<unsigned char>(*p))) ++p;
-      if (p > tok) {
+      std::string_view t = trim_token(tok, p);
+      if (!t.empty()) {
         ++n_tokens;
-        int32_t tid =
-            ctx->intern(std::string_view(tok, static_cast<size_t>(p - tok)));
+        int32_t tid = ctx->intern(t);
         ++counts[tid];
       }
     }
@@ -171,9 +194,9 @@ void rag_encode_queries(void* h, const char* buf, const int64_t* offsets,
       while (p < end && is_space(static_cast<unsigned char>(*p))) ++p;
       const char* tok = p;
       while (p < end && !is_space(static_cast<unsigned char>(*p))) ++p;
-      if (p > tok) {
-        auto it = ctx->vocab.find(
-            std::string_view(tok, static_cast<size_t>(p - tok)));
+      std::string_view t = trim_token(tok, p);
+      if (!t.empty()) {
+        auto it = ctx->vocab.find(t);
         out[d * max_terms + k] = (it == ctx->vocab.end()) ? -1 : it->second;
         ++k;
       }

@@ -1,9 +1,20 @@
 """Tokenization and vocabulary.
 
 The reference tokenizes by lowercase + whitespace split for BM25
-(rag_uq/streaming_index.py:118-120). We keep that contract and add a stable
-64-bit token hash used by the hashing embedder (host-side; the device only
-ever sees integer ids).
+(rag_uq/streaming_index.py:118-120), which leaves sentence punctuation glued
+to tokens: an entity mentioned once, sentence-finally ("...remains
+Guschisshous.") can NEVER match the clean query token "guschisshous". The
+reference gets away with it only because its dense tower (nomic-embed) has a
+real subword tokenizer; our dense tower hashes these same tokens, so both
+towers would share the blindness. Deliberate deviation (measured on the
+hand-written out-of-family split, where inverse-direction questions scored
+recall@10 = 0.0 under whitespace tokenization): tokens additionally have
+ASCII punctuation stripped from both EDGES (never the interior — "it's",
+"multi-word" survive), and all-punctuation tokens are dropped. The native
+C++ tokenizer (native/rag_native.cpp) implements byte-identical semantics.
+
+Also here: a stable 64-bit token hash used by the hashing embedder
+(host-side; the device only ever sees integer ids).
 """
 
 from __future__ import annotations
@@ -17,9 +28,30 @@ _FNV_PRIME = 0x100000001B3
 _MASK64 = (1 << 64) - 1
 
 
+# Every ASCII char that is not a letter or digit. Multi-byte UTF-8 sequences
+# never contain ASCII bytes, so stripping these from token edges is
+# byte-order-safe and exactly mirrors the native tokenizer's per-byte test.
+_EDGE_STRIP = "".join(
+    chr(c) for c in range(128) if not chr(c).isalnum()
+)
+
+# Stamped into persisted index metadata so a saved index built under a
+# different tokenization can be detected at load time.
+TOKENIZER_VERSION = "v2-edge-punct-strip"
+
+
 def tokenize(text: str) -> List[str]:
-    """Lowercase whitespace tokenization (parity: streaming_index.py:118-120)."""
-    return text.lower().split()
+    """Lowercase whitespace tokenization with ASCII edge-punctuation strip.
+
+    Base contract: streaming_index.py:118-120 (lowercase + split); the edge
+    strip is a documented deviation (module docstring) fixing the
+    reference's sentence-punctuation blindness."""
+    out = []
+    for tok in text.lower().split():
+        tok = tok.strip(_EDGE_STRIP)
+        if tok:
+            out.append(tok)
+    return out
 
 
 def fnv1a_64(token: str) -> int:

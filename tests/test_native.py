@@ -38,6 +38,33 @@ class TestNativeTokenizer:
         _, _, _, _, terms = nt.add_documents(["ÉCOLE Straße"], 0)
         assert terms == ["école", "straße"]
 
+    def test_edge_punctuation_parity(self):
+        """Edge-punct strip matches the Python tokenizer byte-for-byte
+        (the v2 deviation: sentence-final mentions must match clean query
+        tokens; text/tokenize.py docstring)."""
+        from rag_uq_tpu.text.tokenize import tokenize
+
+        texts = [
+            "The masterpiece remains Guschisshous.",
+            "it's a multi-word token -- (really!) ... élève? 'quoted'",
+            "1643, then: 2863000.",
+        ]
+        nt = native.NativeTokenizer()
+        _, _, _, doc_lens, terms = nt.add_documents(texts, 0)
+        py_tokens = [tokenize(t) for t in texts]
+        assert doc_lens.tolist() == [len(t) for t in py_tokens]
+        # First-appearance term order equals the Python stream's.
+        seen: list = []
+        for toks in py_tokens:
+            for t in toks:
+                if t not in seen:
+                    seen.append(t)
+        assert terms == seen
+        assert "guschisshous" in terms and "guschisshous." not in terms
+        assert "it's" in terms and "multi-word" in terms
+        # All-punctuation tokens are dropped, not interned as empty.
+        assert "" not in terms and "--" not in terms and "..." not in terms
+
     def test_seed_terms(self):
         nt = native.NativeTokenizer()
         nt.seed_terms(["a", "b"])
