@@ -45,6 +45,7 @@ def run_pipeline(
     scales: Optional[dict] = None,
     alias_questions: int = 0,
     lookup_questions: int = 0,
+    inverse_questions: int = 0,
     run_ablation: bool = False,
 ) -> dict:
     scales = scales or (
@@ -69,6 +70,7 @@ def run_pipeline(
             scales["articles"], seed=seed,
             alias_questions_per_entity=alias_questions,
             lookup_questions_per_entity=lookup_questions,
+            inverse_questions_per_entity=inverse_questions,
         )
         gen_corpus = str(work / "corpus.jsonl")
         gen_nq = str(work / "nq.jsonl")
@@ -378,6 +380,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--lookup", type=int, default=0, metavar="N",
                         help="add up to N conjunctive archive-lookup "
                         "questions per animal entity (bm25-favoring slice)")
+    parser.add_argument("--inverse", type=int, default=0, metavar="N",
+                        help="add up to N inverse-direction questions per "
+                        "person/city entity (question names a unique "
+                        "attribute value, answer is the entity name)")
     parser.add_argument("--ablation", action="store_true",
                         help="run the 4-arm retrieval ablation on the test "
                         "split (per-slice when --semantic is on)")
@@ -393,6 +399,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         seed=args.seed,
         alias_questions=args.semantic,
         lookup_questions=args.lookup,
+        inverse_questions=args.inverse,
         run_ablation=args.ablation,
     )
     print(json.dumps(summary, indent=2, default=str))

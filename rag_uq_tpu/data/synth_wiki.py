@@ -116,6 +116,9 @@ class QA:
     # "lookup": the question names NO entity, only a conjunction of
     # moderately-common attribute values whose combination is unique —
     # term-weighted sparse scoring succeeds, single-vector dense struggles.
+    # "inverse": the question names a unique attribute VALUE (work,
+    # landmark, river) and the answer is the entity name — one rare-term
+    # exact match, decisively BM25-favoring.
     slice: str = "lexical"
 
 
@@ -417,6 +420,35 @@ _LOOKUP_TEMPLATES: List[str] = [
 ]
 
 
+# -- inverse-direction templates -----------------------------------------------------
+# The question names a unique ATTRIBUTE VALUE of the entity (its famous
+# work, its landmark, its river) and the ANSWER is the entity name — the
+# direction the hand-written hw_inverse slice probes, which no base
+# template covers (base questions always name the entity and ask for an
+# attribute). The named value is a globally unique generated token that
+# appears exactly ONCE in the whole corpus, inside the gold article, often
+# sentence-finally — so these queries are decisively BM25-favoring (one
+# rare-term exact match) while a mean-pooled dense vector sees the value as
+# one token among a full article. Routing training data without this family
+# leaves "single rare-token needle" queries out of distribution for the
+# gate (measured: router misroutes hand-written inverse questions to dense,
+# runs/demo_full_r3/results/handwritten_retrieval_slices.json).
+_INVERSE_TEMPLATES: Dict[str, List[Tuple[List[str], str]]] = {
+    "person": [
+        (["Who created {work}?",
+          "Which figure is chiefly remembered for {work}?",
+          "Whose most famous creation is {work}?"], "work"),
+    ],
+    "city": [
+        (["Which city is known for the {landmark} {landmark_kind}?",
+          "Where would a visitor find the {landmark} {landmark_kind}?"],
+         "landmark"),
+        (["Which city stands on the river {river}?",
+          "Through which city does the river {river} flow?"], "river"),
+    ],
+}
+
+
 def _article_text(rng: np.random.Generator, ent: Entity) -> str:
     fields = {"name": ent.name, **ent.attrs}
     sentences = []
@@ -438,6 +470,7 @@ def generate_world(
     seed: int = 0,
     alias_questions_per_entity: int = 0,
     lookup_questions_per_entity: int = 0,
+    inverse_questions_per_entity: int = 0,
 ) -> World:
     """Generate a deterministic world of `n_articles` single-entity articles.
 
@@ -464,6 +497,13 @@ def generate_world(
     retrieval over single-vector dense — the mirror image of the alias
     split. Also an independent rng stream: the base (and alias) worlds stay
     byte-identical when lookups are enabled.
+
+    With `inverse_questions_per_entity > 0`, person and city entities get
+    up to that many inverse-direction questions (slice="inverse"): the
+    question names a globally unique attribute value (the person's famous
+    work, the city's landmark or river) and the answer is the entity name
+    (_INVERSE_TEMPLATES). Independent rng stream, like the other extra
+    families, so existing worlds are unperturbed.
     """
     rng = np.random.default_rng(seed)
     entities = _make_entities(rng, n_articles)
@@ -587,6 +627,41 @@ def generate_world(
                     context=articles[i]["text"],
                     slice="lookup",
                 ))
+
+    if inverse_questions_per_entity > 0:
+        # Independent stream: enabling inverse questions must not perturb
+        # the base/alias/lookup questions of the same seed.
+        irng = np.random.default_rng((seed ^ 0x1472E5) & 0x7FFFFFFF)
+        for i, ent in enumerate(entities):
+            specs = _INVERSE_TEMPLATES.get(ent.kind)
+            if not specs:
+                continue
+            text = articles[i]["text"]
+            made = 0
+            for order_j in irng.permutation(len(specs)):
+                if made >= inverse_questions_per_entity:
+                    break
+                templates, attr_key = specs[int(order_j)]
+                value = ent.attrs.get(attr_key)
+                # Gold consistency both ways: the named value must occur in
+                # the gold article (it's the lexical needle) and the answer
+                # (the entity name) must be extractable from that article.
+                if not value or value not in text or ent.name not in text:
+                    continue
+                q = templates[irng.integers(len(templates))].format(
+                    **{"name": ent.name, **ent.attrs}
+                )
+                qas.append(QA(
+                    id=f"qa_{len(qas)}",
+                    question=q,
+                    answers=[ent.name],
+                    entity=ent.name,
+                    attribute=f"inverse_{attr_key}",
+                    gold_doc_ids=[articles[i]["id"]],
+                    context=text,
+                    slice="inverse",
+                ))
+                made += 1
 
     logger.info(
         "Generated world: %d articles, %d QA pairs (seed %d)",

@@ -8,6 +8,10 @@ Changes vs runs/demo_full_r3 (VERDICT r3 next #5/#7):
   leakage into the wider test window (run_pipeline slices fit after cal+test).
 - alias_questions=3, lookup_questions=1: same mixed-register question family
   as r3 (lexical/semantic/lookup splits), ablation arms on.
+- inverse_questions=1 (new in r4): inverse-direction family (question names a
+  unique attribute value, answer is the entity name) so the router/extractor
+  see the direction the hand-written hw_inverse slice probes (which measured
+  recall@10=0.0 under the r3 router).
 
 Usage: python scripts/run_pipeline_r4.py [workdir]  (TPU; ~40-60 min)
 """
@@ -34,6 +38,7 @@ summary = run_pipeline(
     },
     alias_questions=3,
     lookup_questions=1,
+    inverse_questions=1,
     run_ablation=True,
     seed=0,
 )

@@ -123,6 +123,46 @@ class TestWorld:
         hab = Counter(e.attrs["habitat"] for e in animals)
         assert sum(c >= 2 for c in hab.values()) >= len(hab) // 2
 
+    def test_inverse_questions_slice(self):
+        # Inverse-direction split: the question names a unique attribute
+        # value (work/landmark/river), the answer is the entity name — the
+        # direction the hand-written hw_inverse slice probes. Base + alias +
+        # lookup worlds stay byte-identical (independent rng stream).
+        base = generate_world(
+            120, seed=5, alias_questions_per_entity=1,
+            lookup_questions_per_entity=2,
+        )
+        w = generate_world(
+            120, seed=5, alias_questions_per_entity=1,
+            lookup_questions_per_entity=2, inverse_questions_per_entity=1,
+        )
+        assert [a["text"] for a in base.articles] == [
+            a["text"] for a in w.articles
+        ]
+        assert [q.question for q in base.qas] == [
+            q.question for q in w.qas[: len(base.qas)]
+        ]
+        inv = [q for q in w.qas if q.slice == "inverse"]
+        assert len(inv) >= 15
+        by_id = {a["id"]: a for a in w.articles}
+        kinds = {e.name: e.kind for e in w.entities}
+        all_texts = [a["text"] for a in w.articles]
+        for q in inv:
+            gold = by_id[q.gold_doc_ids[0]]
+            # Answer (the entity name) is extractable from the gold article.
+            assert q.answers[0] in gold["text"]
+            assert kinds[q.entity] in ("person", "city")
+            assert q.attribute.startswith("inverse_")
+            # The named value is a lexical needle: present in the gold
+            # article and in NO other article (so one rare-term exact match
+            # decides retrieval — the BM25-favoring direction).
+            attr_key = q.attribute.split("_", 1)[1]
+            ent = next(e for e in w.entities if e.name == q.entity)
+            value = ent.attrs[attr_key]
+            assert value in q.question
+            assert value in gold["text"]
+            assert sum(value in t for t in all_texts) == 1
+
     def test_write_world(self, tmp_path):
         from rag_uq_tpu.data.loaders import load_qa_jsonl, read_jsonl
 
