@@ -276,9 +276,32 @@ def run_pipeline(
     train_cfg = TrainConfig(
         num_epochs=scales["epochs"], checkpoint_dir=str(work / "router")
     )
+    # feature_set knob (default "reference3" = reference parity). "pool7"
+    # adds pool-context features so rare-term needle queries route to the
+    # sparse tower (router/model.py docstring); the checkpoint records the
+    # architecture, so downstream loads need no flag.
+    router_cfg = None
+    if scales.get("router_features"):
+        from rag_uq_tpu.core.config import RouterConfig
+
+        router_cfg = RouterConfig(feature_set=scales["router_features"])
     router_results = train_router(
-        train, val, train_config=train_cfg, output_dir=str(work / "router")
+        train, val, train_config=train_cfg, router_config=router_cfg,
+        output_dir=str(work / "router"),
     )
+    if router_cfg is not None:
+        # Control: a reference3-architecture router on the SAME training
+        # arrays, so the feature set's contribution is attributable (same
+        # isolation discipline as the fixed_hybrid_balanced arm). Router
+        # training is seconds next to the surrounding stages.
+        ref3_cfg = TrainConfig(
+            num_epochs=scales["epochs"],
+            checkpoint_dir=str(work / "router_reference3"),
+        )
+        router_results["reference3_control"] = train_router(
+            train, val, train_config=ref3_cfg,
+            output_dir=str(work / "router_reference3"),
+        )
     timings["router_train_s"] = round(time.time() - t0, 1)
 
     # Step 5: conformal calibration.

@@ -23,6 +23,14 @@ class RouterConfig:
     num_layers: int = 2
     use_batch_norm: bool = False
     ema_momentum: float = 0.1  # running score-stats EMA (reference router.py:123)
+    # "reference3": the reference's per-passage features [bm25_norm,
+    # dense_norm, dense_norm - bm25_norm] (router.py:67-68,164-167).
+    # "pool7": adds within-pool z-scores per passage and each tower's
+    # broadcast top1-top2 gap — scale-invariant pool-context signals a pure
+    # per-passage gate cannot express (router/model.py docstring; added
+    # after the hand-written out-of-family eval measured the reference3
+    # gate misrouting rare-term "needle" queries to dense).
+    feature_set: str = "reference3"
 
 
 @dataclass

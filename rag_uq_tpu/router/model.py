@@ -7,6 +7,17 @@ Dense(1)+sigmoid), score normalization by EMA running mean/std (momentum
 0.1, sample std with ddof=1 + 1e-6 eps) updated only in train mode, with
 batch statistics used until the running stats initialize.
 
+Beyond parity, `RouterConfig.feature_set="pool7"` extends the per-passage
+features with pool-context signals (within-pool z-scores + each tower's
+broadcast top1-top2 gap). Motivation: the reference's 3 features are all
+derived from GLOBAL (EMA) score statistics, so the gate is blind to the
+within-query pattern "one BM25 score is a far outlier above this pool" —
+exactly the signature of a rare-term needle query where sparse retrieval
+is decisive. Measured on the hand-written out-of-family split, the
+reference3 gate misroutes such queries to dense
+(runs/demo_full_r3/results/handwritten_retrieval_slices.json: hw_inverse
+recall@10 = 0.0 while bare BM25 ranks gold first).
+
 The module is pure flax (params + a mutable "stats" collection), so the
 train step jits end-to-end; `RetrievalRouter` is the stateful convenience
 wrapper with the reference's method surface.
@@ -78,8 +89,50 @@ class RouterModule(nn.Module):
             (d - batch_d_mean) / (batch_d_std + _EPS),
         )
 
-        feats = jnp.stack([b_norm, d_norm, d_norm - b_norm], axis=-1)  # [B, P, 3]
-        x = feats.reshape(-1, 3)
+        if cfg.feature_set == "pool7":
+            # Pool-context features. The EMA z-scores above are GLOBAL: they
+            # shift whenever corpus score statistics shift, and a pure
+            # per-passage gate cannot see that this query's BM25 top-1 is an
+            # outlier above its own candidate pool — the decisive signal on
+            # rare-term "needle" queries (one exact match far above the
+            # noise floor). Within-pool z-scores are invariant to raw score
+            # scale, and the broadcast top1-top2 gap gives every passage the
+            # query-level salience of each tower.
+            P = b.shape[1]
+
+            def _row_stats(x):
+                mean = jnp.mean(x, axis=1, keepdims=True)
+                var = jnp.sum((x - mean) ** 2, axis=1, keepdims=True)
+                var = var / jnp.maximum(P - 1, 1)
+                return mean, jnp.sqrt(var) + _EPS
+
+            bp_mean, bp_std = _row_stats(b)
+            dp_mean, dp_std = _row_stats(d)
+            b_pool = (b - bp_mean) / bp_std
+            d_pool = (d - dp_mean) / dp_std
+            if P >= 2:
+                b_top2 = jax.lax.top_k(b, 2)[0]
+                d_top2 = jax.lax.top_k(d, 2)[0]
+                b_gap = (b_top2[:, :1] - b_top2[:, 1:2]) / bp_std
+                d_gap = (d_top2[:, :1] - d_top2[:, 1:2]) / dp_std
+            else:
+                b_gap = jnp.zeros_like(bp_mean)
+                d_gap = jnp.zeros_like(dp_mean)
+            feats = jnp.stack(
+                [
+                    b_norm,
+                    d_norm,
+                    d_norm - b_norm,
+                    b_pool,
+                    d_pool,
+                    jnp.broadcast_to(b_gap, b.shape),
+                    jnp.broadcast_to(d_gap, d.shape),
+                ],
+                axis=-1,
+            )  # [B, P, 7]
+        else:
+            feats = jnp.stack([b_norm, d_norm, d_norm - b_norm], axis=-1)  # [B, P, 3]
+        x = feats.reshape(-1, feats.shape[-1])
         for _ in range(cfg.num_layers - 1):
             x = nn.Dense(cfg.hidden_dim)(x)
             if cfg.use_batch_norm:
@@ -95,7 +148,13 @@ class RetrievalRouter:
     """Stateful wrapper with the reference's method surface (router.py:44-232)."""
 
     def __init__(self, config: Optional[RouterConfig] = None, seed: int = 0):
-        self.config = config or RouterConfig()
+        self._rebuild(config or RouterConfig(), seed)
+        self._training = False
+    def _rebuild(self, config: RouterConfig, seed: int = 0) -> None:
+        """(Re)initialize architecture + fresh variables IN PLACE, so callers
+        holding this object see a checkpoint loaded under a different
+        architecture (RouterTrainer.load_checkpoint rebuilds through here)."""
+        self.config = config
         self.module = RouterModule(self.config)
         rng = jax.random.PRNGKey(seed)
         dummy = jnp.zeros((1, 4), dtype=jnp.float32)
@@ -107,7 +166,6 @@ class RetrievalRouter:
         self.extra = {
             k: v for k, v in variables.items() if k not in ("params", "stats")
         }
-        self._training = False
         self._dropout_rng = jax.random.PRNGKey(seed + 1)
         # Candidate-pool width the gate was trained on (set by RouterTrainer,
         # persisted in checkpoint metadata). Serving paths clamp the router's

@@ -239,6 +239,36 @@ class RouterTrainer:
         logger.info("Saved checkpoint to %s", path)
 
     def load_checkpoint(self, path: str) -> None:
+        meta: Dict = {}
+        meta_path = str(path) + ".json"
+        if Path(meta_path).exists():
+            with open(meta_path) as f:
+                meta = json.load(f)
+        stored_cfg = meta.get("config")
+        if stored_cfg:
+            # Checkpoints carry their architecture (e.g. feature_set,
+            # hidden_dim). If it differs from the live router's, rebuild the
+            # router and the jitted steps to match BEFORE deserializing, so
+            # a default-constructed RetrievalRouter can load any checkpoint.
+            import dataclasses
+
+            from rag_uq_tpu.core.config import RouterConfig
+
+            known = {f.name for f in dataclasses.fields(RouterConfig)}
+            cfg = RouterConfig(
+                **{k: v for k, v in stored_cfg.items() if k in known}
+            )
+            if vars(cfg) != vars(self.router.config):
+                logger.info(
+                    "Checkpoint architecture differs (%s); rebuilding router",
+                    {k: v for k, v in vars(cfg).items()
+                     if vars(self.router.config).get(k) != v},
+                )
+                # In-place rebuild: callers holding the router object keep
+                # a valid reference; then refresh the trainer's jitted steps
+                # and optimizer state around the new architecture.
+                self.router._rebuild(cfg)
+                self.__init__(self.router, config=self.config)
         target = {
             "params": self.router.params,
             "stats": self.router.stats,
@@ -249,10 +279,7 @@ class RouterTrainer:
         self.router.params = restored["params"]
         self.router.stats = restored["stats"]
         self.opt_state = restored["opt_state"]
-        meta_path = str(path) + ".json"
-        if Path(meta_path).exists():
-            with open(meta_path) as f:
-                meta = json.load(f)
+        if meta:
             self.train_losses = meta.get("train_losses", [])
             self.val_losses = meta.get("val_losses", [])
             self._lr = meta.get("lr", self._lr)

@@ -12,6 +12,10 @@ Changes vs runs/demo_full_r3 (VERDICT r3 next #5/#7):
   unique attribute value, answer is the entity name) so the router/extractor
   see the direction the hand-written hw_inverse slice probes (which measured
   recall@10=0.0 under the r3 router).
+- router_features="pool7" (new in r4): the gate also sees within-pool
+  z-scores and each tower's top1-top2 gap, the scale-invariant signals that
+  identify rare-term needle queries; a reference3 control router is trained
+  on the same arrays into router_reference3/ for attribution.
 
 Usage: python scripts/run_pipeline_r4.py [workdir]  (TPU; ~40-60 min)
 """
@@ -35,6 +39,9 @@ summary = run_pipeline(
         "epochs": 50,
         "lm_steps": 4000,
         "enc_steps": 2000,
+        # pool7 gate (plus a reference3 control checkpoint trained on the
+        # same arrays in router_reference3/) — see router/model.py.
+        "router_features": "pool7",
     },
     alias_questions=3,
     lookup_questions=1,

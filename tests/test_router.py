@@ -193,6 +193,83 @@ class TestRouterTrainer:
         assert trainer._lr == pytest.approx(lr0 * 0.5)
 
 
+class TestPool7FeatureSet:
+    def test_output_shape_bounds_and_determinism(self):
+        rng = np.random.default_rng(0)
+        bm25 = rng.normal(2.0, 1.5, (4, 20)).astype(np.float32)
+        dense = rng.normal(0.5, 0.2, (4, 20)).astype(np.float32)
+        router = RetrievalRouter(RouterConfig(feature_set="pool7"))
+        router.eval()
+        w = np.asarray(router(bm25, dense, update_stats=False))
+        assert w.shape == (4, 20)
+        assert np.all(w >= 0) and np.all(w <= 1)
+        w2 = np.asarray(router(bm25, dense, update_stats=False))
+        np.testing.assert_array_equal(w, w2)
+
+    def test_single_passage_pool(self):
+        # P=1: top1-top2 gap undefined -> zeros, no NaNs.
+        router = RetrievalRouter(RouterConfig(feature_set="pool7"))
+        router.eval()
+        w = np.asarray(router(
+            np.array([[3.0]], np.float32), np.array([[0.5]], np.float32),
+            update_stats=False,
+        ))
+        assert w.shape == (1, 1) and np.isfinite(w).all()
+
+    def test_trains_and_converges(self, tmp_path):
+        bm25, dense, rel = synthetic_router_data(200, 12, seed=1)
+        router = RetrievalRouter(RouterConfig(feature_set="pool7"))
+        trainer = RouterTrainer(
+            router, checkpoint_dir=str(tmp_path),
+            config=TrainConfig(num_epochs=15, batch_size=32,
+                               checkpoint_dir=str(tmp_path)),
+        )
+        history = trainer.fit(
+            (bm25[:160], dense[:160], rel[:160]),
+            (bm25[160:], dense[160:], rel[160:]),
+        )
+        assert history["train_losses"][-1] < history["train_losses"][0]
+
+    def test_checkpoint_loads_into_default_router(self, tmp_path):
+        """A pool7 checkpoint must load through a default-constructed
+        RetrievalRouter/RouterTrainer pair (the cli scripts' pattern), with
+        the caller's router object rebuilt IN PLACE to the stored
+        architecture."""
+        bm25, dense, rel = synthetic_router_data(32, 10)
+        router = RetrievalRouter(RouterConfig(feature_set="pool7"))
+        trainer = RouterTrainer(router, checkpoint_dir=str(tmp_path))
+        trainer.train_epoch((bm25, dense, rel))
+        path = str(tmp_path / "ckpt.msgpack")
+        trainer.save_checkpoint(path)
+
+        plain = RetrievalRouter()  # reference3 by default
+        trainer2 = RouterTrainer(plain, checkpoint_dir=str(tmp_path))
+        trainer2.load_checkpoint(path)
+        assert plain.config.feature_set == "pool7"
+        assert trainer2.router is plain
+        router.eval(), plain.eval()
+        w1 = np.asarray(router(bm25, dense, update_stats=False))
+        w2 = np.asarray(plain(bm25, dense, update_stats=False))
+        np.testing.assert_allclose(w1, w2, rtol=1e-6)
+
+    def test_scale_invariant_pool_features_differ_from_reference3(self):
+        """pool7 must produce a different gate from reference3 on a needle
+        pattern (one BM25 outlier), i.e. the extra features are live."""
+        bm25 = np.full((1, 10), 1.0, np.float32)
+        bm25[0, 3] = 9.0  # rare-term needle
+        dense = np.full((1, 10), 0.5, np.float32)
+        w3 = np.asarray(
+            RetrievalRouter(RouterConfig()).eval()(
+                bm25, dense, update_stats=False)
+        )
+        w7 = np.asarray(
+            RetrievalRouter(RouterConfig(feature_set="pool7")).eval()(
+                bm25, dense, update_stats=False)
+        )
+        assert w3.shape == w7.shape
+        assert not np.allclose(w3, w7)
+
+
 class TestPseudoLabels:
     def test_exact_substring(self):
         labels = create_pseudo_labels(
