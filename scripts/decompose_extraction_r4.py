@@ -96,7 +96,7 @@ for s in range(0, len(questions), 128):
     )
 print(f"retrieval in {time.time()-t0:.1f}s", flush=True)
 
-def gen(contexts):
+def gen(contexts, tag=""):
     preds = []
     for s in range(0, len(contexts), 64):
         chunk_q = questions[s : s + 64]
@@ -109,6 +109,8 @@ def gen(contexts):
         preds.extend(llm.generate_batch(
             prompts, [0.1] * len(prompts), [0.9] * len(prompts), max_tokens=100
         ))
+        print(f"[{time.strftime('%H:%M:%S')}] {tag} gen {s}/{len(contexts)}",
+              flush=True)
     return preds
 
 def em_of(preds, idx=None):
@@ -144,15 +146,25 @@ conds["top3"] = [
 
 out = {"n": len(samples), "conditions": {}}
 preds_by_cond = {}
-for name, ctxs in conds.items():
+path = WORK / "results/extraction_decomposition.json"
+path.parent.mkdir(parents=True, exist_ok=True)
+# Condition order = information density (a timeout-killed partial run still
+# answers the headline question): extraction ceiling first, then the
+# pipeline condition (needed for the conditioned analysis), then the
+# single-variable probes. The partial JSON is rewritten after every
+# condition; "partial": true is cleared only by the final full write.
+for name in ("gold_ctx", "top3", "top1", "gold_first"):
     t0 = time.time()
-    preds = gen(ctxs)
+    preds = gen(conds[name], tag=name)
     preds_by_cond[name] = preds
     out["conditions"][name] = {
         "exact_match": em_of(preds),
         "gen_s": round(time.time() - t0, 1),
     }
     print(name, out["conditions"][name], flush=True)
+    out["partial"] = True
+    path.write_text(json.dumps(out, indent=2))
+del out["partial"]
 
 # -- conditioning / slices ------------------------------------------------------
 gold_in_top3 = [
@@ -182,8 +194,6 @@ for key in ("slice", "attribute"):
         for k, idx in sorted(groups.items())
     }
 
-path = WORK / "results/extraction_decomposition.json"
-path.parent.mkdir(parents=True, exist_ok=True)
 path.write_text(json.dumps(out, indent=2))
 print(json.dumps(out["conditions"], indent=2))
 print(json.dumps(out["top3_conditioned"], indent=2))
