@@ -71,6 +71,10 @@ def run_pipeline(
             alias_questions_per_entity=alias_questions,
             lookup_questions_per_entity=lookup_questions,
             inverse_questions_per_entity=inverse_questions,
+            # "v2" widens question phrasing registers and asks the four
+            # never-asked article attributes (synth_wiki.py v2 comment);
+            # default "v1" keeps earlier rounds' worlds byte-identical.
+            question_style=scales.get("question_style", "v1"),
         )
         gen_corpus = str(work / "corpus.jsonl")
         gen_nq = str(work / "nq.jsonl")

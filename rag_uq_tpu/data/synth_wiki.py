@@ -390,6 +390,148 @@ _QUESTION_TEMPLATES: Dict[Tuple[str, str], Tuple[List[str], str]] = {
 }
 
 
+# -- v2 question style ---------------------------------------------------------------
+# The hand-written out-of-family eval (runs/demo_full_r3/results/handwritten/)
+# measured EM 0.095 vs the synthetic split's 0.49 and localized the cause:
+# (a) v1 asks every attribute in exactly two formal registers, while natural
+# questions are also elliptical ("{name}'s population?"), inverted ("{name}
+# sits in which country?") and colloquial; (b) four attributes that appear in
+# every article (death year, landmark, element color, book genre) are never
+# asked at all, so the extractor has never learned to read them out. The v2
+# style widens both axes AT TRAINING-DATA GENERATION TIME ONLY — the
+# hand-written split stays fully held out (none of these strings reproduce a
+# hand-written question), and `question_style="v1"` (the default) remains
+# byte-identical to earlier rounds' worlds.
+
+_QUESTION_TEMPLATES_V2_EXTRA: Dict[Tuple[str, str], List[str]] = {
+    ("person", "birth_year"): [
+        "When was {name} born?",
+        "{name} was born in which year?",
+        "{name}'s year of birth?",
+    ],
+    ("person", "birth_city"): [
+        "{name} was born where?",
+        "{name}'s birthplace?",
+        "In which city was {name} born?",
+    ],
+    ("person", "occupation"): [
+        "{name}'s profession?",
+        "What kind of work did {name} do?",
+        "{name} earned a living as what?",
+    ],
+    ("person", "work"): [
+        "{name}'s best-known creation?",
+        "What work is {name} famous for?",
+        "{name} is remembered chiefly for what?",
+    ],
+    ("city", "country"): [
+        "{name} sits in which country?",
+        "Which country is {name} in?",
+        "{name}'s country?",
+    ],
+    ("city", "river"): [
+        "Which river passes {name}?",
+        "{name} stands on which river?",
+        "What river does {name} sit beside?",
+    ],
+    ("city", "population"): [
+        "How big is {name}'s population?",
+        "{name} has how many inhabitants?",
+        "How many residents does {name} have?",
+    ],
+    ("city", "founded"): [
+        "{name} was founded in what year?",
+        "{name} dates back to when?",
+        "The founding year of {name}?",
+    ],
+    ("element", "symbol"): [
+        "{name}'s chemical symbol?",
+        "What is the symbol for {name}?",
+        "The element {name} is written with which symbol?",
+    ],
+    ("element", "atomic_number"): [
+        "{name}'s atomic number?",
+        "What number does {name} have in the periodic table?",
+        "The atomic number of {name} is what?",
+    ],
+    ("element", "discovered"): [
+        "When was {name} discovered?",
+        "{name}'s year of discovery?",
+        "{name} was first isolated in which year?",
+    ],
+    ("book", "author"): [
+        "Who wrote {name}?",
+        "{name} was written by whom?",
+        "Who is the author of {name}?",
+    ],
+    ("book", "year"): [
+        "{name} was published when?",
+        "{name}'s publication year?",
+        "Which year saw the publication of {name}?",
+    ],
+    ("event", "start_year"): [
+        "{name} began in which year?",
+        "When did {name} start?",
+        "{name} kicked off in what year?",
+    ],
+    ("event", "city"): [
+        "{name} took place where?",
+        "In which city did {name} occur?",
+        "{name}'s host city?",
+    ],
+    ("animal", "habitat"): [
+        "The {name} is found where?",
+        "What habitat does the {name} prefer?",
+        "Where is the {name} native to?",
+    ],
+    ("animal", "diet"): [
+        "The {name} feeds on what?",
+        "What is the diet of the {name}?",
+        "The {name} mainly eats what?",
+    ],
+    ("animal", "lifespan"): [
+        "What is the lifespan of the {name}?",
+        "The {name} reaches what age?",
+        "How many years does a {name} live?",
+    ],
+}
+
+_QUESTION_TEMPLATES_V2_NEW: Dict[Tuple[str, str], Tuple[List[str], str]] = {
+    ("person", "death_year"): (
+        ["When did {name} die?",
+         "In what year did {name} pass away?",
+         "{name} died in which year?",
+         "{name}'s year of death?"], "death_year"),
+    ("city", "landmark"): (
+        ["What is the best-known landmark of {name}?",
+         "Which landmark draws visitors to {name}?",
+         "{name}'s most famous landmark?"], "landmark"),
+    ("element", "color"): (
+        ["What color is {name} in pure form?",
+         "{name} appears what color?",
+         "What is the color of {name}?"], "color"),
+    ("book", "genre"): (
+        ["What genre is {name}?",
+         "{name} is a classic of which genre?",
+         "To which genre does {name} belong?"], "genre"),
+}
+
+
+def _question_table(
+    style: str,
+) -> Dict[Tuple[str, str], Tuple[List[str], str]]:
+    if style == "v1":
+        return _QUESTION_TEMPLATES
+    if style != "v2":
+        raise ValueError(f"unknown question_style {style!r} (v1 or v2)")
+    table = {
+        key: (tmpls + _QUESTION_TEMPLATES_V2_EXTRA.get(key, []), attr_key)
+        for key, (tmpls, attr_key) in _QUESTION_TEMPLATES.items()
+    }
+    table.update(_QUESTION_TEMPLATES_V2_NEW)
+    return table
+
+
 # -- lookup (conjunctive archive) templates -----------------------------------------
 # The inverse of the question templates above: the entity is the ANSWER and
 # the question names only a conjunction of attribute values. Each value alone
@@ -471,6 +613,7 @@ def generate_world(
     alias_questions_per_entity: int = 0,
     lookup_questions_per_entity: int = 0,
     inverse_questions_per_entity: int = 0,
+    question_style: str = "v1",
 ) -> World:
     """Generate a deterministic world of `n_articles` single-entity articles.
 
@@ -504,6 +647,12 @@ def generate_world(
     work, the city's landmark or river) and the answer is the entity name
     (_INVERSE_TEMPLATES). Independent rng stream, like the other extra
     families, so existing worlds are unperturbed.
+
+    `question_style` selects the question template table: "v1" (default,
+    byte-identical to earlier rounds' worlds) or "v2", which widens each
+    attribute's phrasing registers (elliptical/inverted/colloquial) and asks
+    the four article attributes v1 never asks (death year, landmark, element
+    color, book genre) — see the _QUESTION_TEMPLATES_V2_* comment.
     """
     rng = np.random.default_rng(seed)
     entities = _make_entities(rng, n_articles)
@@ -516,8 +665,9 @@ def generate_world(
             "metadata": {"kind": ent.kind, "entity": ent.name},
         })
 
+    qtable = _question_table(question_style)
     q_keys_by_kind: Dict[str, List[Tuple[str, str]]] = {}
-    for (kind, attr) in _QUESTION_TEMPLATES:
+    for (kind, attr) in qtable:
         q_keys_by_kind.setdefault(kind, []).append((kind, attr))
 
     qas: List[QA] = []
@@ -529,7 +679,7 @@ def generate_world(
             if made >= questions_per_entity:
                 break
             kind, attr = keys[int(j)]
-            templates, attr_key = _QUESTION_TEMPLATES[(kind, attr)]
+            templates, attr_key = qtable[(kind, attr)]
             answer = ent.attrs.get(attr_key)
             if not answer or answer not in articles[i]["text"]:
                 continue
@@ -572,7 +722,7 @@ def generate_world(
                 if made >= alias_questions_per_entity:
                     break
                 kind, attr = keys[int(j)]
-                templates, attr_key = _QUESTION_TEMPLATES[(kind, attr)]
+                templates, attr_key = qtable[(kind, attr)]
                 answer = ent.attrs.get(attr_key)
                 if not answer or answer not in articles[i]["text"]:
                     continue

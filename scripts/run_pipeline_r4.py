@@ -42,6 +42,10 @@ summary = run_pipeline(
         # pool7 gate (plus a reference3 control checkpoint trained on the
         # same arrays in router_reference3/) — see router/model.py.
         "router_features": "pool7",
+        # v2 question style: wider phrasing registers + the four article
+        # attributes v1 never asks (the hand-written eval localized the
+        # out-of-family EM collapse to exactly these two axes).
+        "question_style": "v2",
     },
     alias_questions=3,
     lookup_questions=1,

@@ -163,6 +163,39 @@ class TestWorld:
             assert value in gold["text"]
             assert sum(value in t for t in all_texts) == 1
 
+    def test_v2_question_style(self):
+        # v2 widens phrasing registers and asks the four article attributes
+        # v1 never asks (death year, landmark, element color, book genre),
+        # measured as the hand-written eval's hw_novel blind spot. v1 stays
+        # the default and byte-identical.
+        v1_default = generate_world(120, seed=3)
+        v1_explicit = generate_world(120, seed=3, question_style="v1")
+        assert [q.question for q in v1_default.qas] == [
+            q.question for q in v1_explicit.qas
+        ]
+
+        w = generate_world(120, seed=3, questions_per_entity=4,
+                           question_style="v2")
+        # Same corpus: question style only affects the QA side.
+        assert [a["text"] for a in w.articles] == [
+            a["text"] for a in v1_default.articles
+        ]
+        by_id = {a["id"]: a for a in w.articles}
+        for q in w.qas:
+            assert q.answers[0] in by_id[q.gold_doc_ids[0]]["text"]
+        attrs = {q.attribute for q in w.qas}
+        for new_attr in ("death_year", "landmark", "color", "genre"):
+            assert new_attr in attrs, f"v2 never asked {new_attr}"
+        # The widened pool is actually in use: far more distinct surface
+        # forms per attribute than v1's two templates can produce.
+        from collections import defaultdict
+
+        shapes = defaultdict(set)
+        for q in w.qas:
+            shapes[q.attribute].add(q.question.replace(q.entity, "{name}"))
+        widened = [a for a, s in shapes.items() if len(s) >= 3]
+        assert len(widened) >= 8
+
     def test_write_world(self, tmp_path):
         from rag_uq_tpu.data.loaders import load_qa_jsonl, read_jsonl
 
