@@ -41,6 +41,8 @@ def multi_world_qa(
     hard_pools: bool = False,
     alias_q: int = 0,
     lookup_q: int = 0,
+    inverse_q: int = 0,
+    question_style: str = "v1",
 ) -> tuple:
     """QA samples + distractor texts pooled from several generated worlds.
 
@@ -65,6 +67,12 @@ def multi_world_qa(
             articles_per_world, seed=seed,
             alias_questions_per_entity=alias_q,
             lookup_questions_per_entity=lookup_q,
+            # Inverse rows flip the extraction direction (answer = entity
+            # name found next to the named value); v2 widens the phrasing
+            # registers — both measured blind spots of the hand-written
+            # out-of-family split (BASELINE.md r4).
+            inverse_questions_per_entity=inverse_q,
+            question_style=question_style,
         )
         rows = w.qa_rows()
         samples += rows
@@ -170,6 +178,8 @@ def train_extractor(
     curriculum: bool = False,
     alias_q: int = 0,
     lookup_q: int = 0,
+    inverse_q: int = 0,
+    question_style: str = "v1",
     oversample_lookup: int = 1,
     gold_first_prob: float = 0.0,
 ) -> Dict:
@@ -189,11 +199,13 @@ def train_extractor(
     if curriculum:
         samples, distractors, hard_pools = multi_world_qa(
             n_worlds, articles_per_world, hard_pools=True,
-            alias_q=alias_q, lookup_q=lookup_q,
+            alias_q=alias_q, lookup_q=lookup_q, inverse_q=inverse_q,
+            question_style=question_style,
         )
     else:
         samples, distractors = multi_world_qa(
-            n_worlds, articles_per_world, alias_q=alias_q, lookup_q=lookup_q
+            n_worlds, articles_per_world, alias_q=alias_q, lookup_q=lookup_q,
+            inverse_q=inverse_q, question_style=question_style,
         )
     logger.info("%d training QAs from %d worlds in %.0fs",
                 len(samples), n_worlds, time.time() - t0)
@@ -272,6 +284,8 @@ def train_extractor(
         max(eval_n, 100), seed=0,
         alias_questions_per_entity=alias_q,
         lookup_questions_per_entity=lookup_q,
+        inverse_questions_per_entity=inverse_q,
+        question_style=question_style,
     )
     lm = trainer.export_sampler()
     # Base rows first so the headline EMs stay comparable across rounds;
@@ -312,6 +326,20 @@ def train_extractor(
                 distractor_texts=[r["text"] for r in test_world.corpus_rows()],
                 hard_pools=lk_pools,
             )
+    metrics_inverse = None
+    if inverse_q > 0:
+        inverse_rows = [
+            r for r in all_rows if r["metadata"]["slice"] == "inverse"
+        ][:eval_n]
+        if inverse_rows:
+            inv_pools = [
+                by_kind[kind_of[r["gold_doc_ids"][0]]] for r in inverse_rows
+            ]
+            metrics_inverse = eval_extraction(
+                lm, inverse_rows,
+                distractor_texts=[r["text"] for r in test_world.corpus_rows()],
+                hard_pools=inv_pools,
+            )
     # Alias (semantic-slice) splits: the question names an alias that
     # appears in NO passage, so with same-kind confusables the gold is
     # content-indistinguishable — shuffled vs gold-first separates the
@@ -347,9 +375,11 @@ def train_extractor(
         "unseen_world_eval_distractors": metrics_distract,
         "unseen_world_eval_hard_distractors": metrics_hard,
         "unseen_world_eval_lookup_hard": metrics_lookup,
+        "unseen_world_eval_inverse_hard": metrics_inverse,
         "unseen_world_eval_alias_hard": metrics_alias,
         "unseen_world_eval_alias_hard_gold_first": metrics_alias_first,
         "gold_first_prob": gold_first_prob,
+        "question_style": question_style,
         "curriculum": curriculum,
         "checkpoint": ckpt,
         "model_config": vars(model_cfg),
@@ -386,6 +416,14 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--lookup-q", type=int, default=0,
                         help="archive-lookup questions per animal entity "
                         "in each training world")
+    parser.add_argument("--inverse-q", type=int, default=0,
+                        help="inverse-direction questions (answer = entity "
+                        "name) per person/city entity in each training world")
+    parser.add_argument("--question-style", default="v1",
+                        choices=("v1", "v2"),
+                        help="v2 widens question phrasing registers and asks "
+                        "the four never-asked article attributes "
+                        "(data/synth_wiki.py)")
     parser.add_argument("--oversample-lookup", type=int, default=1,
                         help="replicate lookup-slice training rows this "
                         "many times (their natural rate is too low for "
@@ -403,6 +441,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         learning_rate=args.lr, seq_len=args.seq_len, seed=args.seed,
         init_from=args.init_from, curriculum=args.curriculum,
         alias_q=args.alias_q, lookup_q=args.lookup_q,
+        inverse_q=args.inverse_q, question_style=args.question_style,
         oversample_lookup=args.oversample_lookup,
         gold_first_prob=args.gold_first_prob,
     ), indent=2))
