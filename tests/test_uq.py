@@ -182,20 +182,32 @@ class _LatentDifficultyLLM:
     """Deterministic fake: per-prompt latent difficulty controls how
     diverse the K sampled answers are. Same prompt -> same behavior, so
     calibration and test examples drawn iid share one score distribution
-    (exchangeability for the mc_variance conformal mode)."""
+    (exchangeability for the mc_variance conformal mode).
+
+    Uses a stable string hash, NOT builtin hash(): the per-process hash
+    salt made the coverage property test's outcome vary by interpreter
+    launch (observed: one salt produced coverage 0.687, a 9-sigma outlier
+    under the intended iid sampling — the salt correlated the per-prompt
+    difficulty draws). fnv1a_64 pins one realization forever."""
 
     WORDS = [f"word{i}" for i in range(40)]
+
+    @staticmethod
+    def _stable(p: str) -> int:
+        from rag_uq_tpu.text.tokenize import fnv1a_64
+
+        return fnv1a_64(p) % (2**32)
 
     def generate_batch(self, prompts, temperatures, top_ps, max_tokens=100,
                        seed=None):
         outs = []
         for i, p in enumerate(prompts):
-            rng = np.random.default_rng(abs(hash(p)) % (2**32))
+            rng = np.random.default_rng(self._stable(p))
             difficulty = rng.uniform()
             vocab = max(1, int(difficulty * 12))
             # Each sample draws a fresh word set; more vocab => more spread.
             idx = np.random.default_rng(
-                (abs(hash(p)) + i + (seed or 0)) % (2**32)
+                (self._stable(p) + i + (seed or 0)) % (2**32)
             ).integers(0, vocab, size=3)
             outs.append(" ".join(self.WORDS[j] for j in idx))
         return outs
