@@ -54,7 +54,7 @@ from flax import serialization
 from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
 from rag_uq_tpu.llm.train import LMTrainConfig, TinyLMTrainer
 
-lm_ckpt = "models/tiny_lm/tiny_lm.msgpack"
+lm_ckpt = os.environ.get("HW_LM", "models/tiny_lm/tiny_lm.msgpack")
 with open(lm_ckpt + ".json") as f:
     ckpt_meta = json.load(f)
 model_cfg = TinyLMConfig(**ckpt_meta["model_config"])
@@ -72,7 +72,14 @@ from rag_uq_tpu.router.model import RetrievalRouter
 from rag_uq_tpu.router.train import RouterTrainer
 
 router = RetrievalRouter()
-RouterTrainer(router).load_checkpoint(str(WORK / "router/final_router.msgpack"))
+# HW_ROUTER overrides the router checkpoint (e.g. the r4 retraining-probe
+# gate, runs/demo_full_r3/router_r4probe_ref3/final_router.msgpack);
+# HW_OUT overrides the results subdirectory so reruns don't clobber the
+# "before" artifact.
+router_ckpt = os.environ.get(
+    "HW_ROUTER", str(WORK / "router/final_router.msgpack"))
+RouterTrainer(router).load_checkpoint(router_ckpt)
+OUT_SUB = os.environ.get("HW_OUT", "handwritten")
 
 t0 = time.time()
 # HW_MC=0 skips the MC-dropout pass (8x the generation cost): this split's
@@ -81,7 +88,7 @@ t0 = time.time()
 results = run_evaluation(
     retriever, samples, llm=llm, router=router,
     mc_samples=int(os.environ.get("HW_MC", "8")),
-    output_dir=str(WORK / "results/handwritten"),
+    output_dir=str(WORK / "results" / OUT_SUB),
 )
 print(f"evaluation in {time.time()-t0:.1f}s", flush=True)
 out = {
@@ -89,7 +96,7 @@ out = {
     "retrieval": results["retrieval"],
     "generation": results["generation"],
 }
-path = WORK / "results/handwritten_eval.json"
+path = WORK / f"results/{OUT_SUB}_eval.json"
 path.write_text(json.dumps(out, indent=2))
 print(json.dumps(out["generation"], indent=2))
 print("wrote", path)
