@@ -189,10 +189,30 @@ def _predict_batch(
     context_passages: int,
     max_context_chars: int,
     warm_start: bool = True,
+    context_policy: str = "concat",
 ) -> Dict:
     """Shared batched predict path: retrieval -> contexts -> generation ->
     confidence, for a sample list. Used for both the test set and the
     labeled calibration split (Platt scaling).
+
+    `context_policy` selects how retrieved passages become the generator's
+    context:
+      - "concat" (default): the reference protocol verbatim — top
+        `context_passages` passages joined and clipped to
+        `max_context_chars` (run_evaluation.py:157-212).
+      - "per_passage": generate one answer per retrieved passage (the same
+        `context_passages` head) and keep the answer with the highest mean
+        token logprob (tie -> better retrieval rank). Motivated by the r4
+        extraction-gap decomposition (runs/demo_full_r3/results/
+        extraction_decomposition.json): with this extractor, gold-passage-
+        alone EM is 0.995 but 3-passage concat EM is 0.763 even when gold
+        is present — concatenated distractors, not extraction, lose ~0.23
+        EM. Per-passage turns B queries into B*P generation rows, which is
+        a BIGGER batch for the same device program — TPU-friendly, ~P×
+        generation FLOPs. Falls back to "concat" when the generator lacks
+        `generate_batch_scored` (no selection signal). Downstream
+        confidence (MC, grounding features) sees the WINNING passage as
+        the context — the context actually answered from.
 
     With `warm_start` (default), each stage's first chunk runs once untimed
     before the timed region, so XLA compile lands in `cold_start_ms` instead
@@ -284,6 +304,25 @@ def _predict_batch(
         " ".join(t for t in row[:context_passages] if t)[:max_context_chars]
         for row in texts
     ]
+    per_passage = (
+        context_policy == "per_passage"
+        and hasattr(llm, "generate_batch_scored")
+    )
+    if per_passage:
+        # Per-query candidate contexts: the same retrieved head the concat
+        # policy would join, one generation row each (empty slots dropped;
+        # a query with no retrieved text falls back to its concat context).
+        pp_ctx = [
+            [t[:max_context_chars] for t in row[:context_passages] if t]
+            or [contexts[i]]
+            for i, row in enumerate(texts)
+        ]
+
+    def _prompt(q: str, c: str) -> str:
+        return (
+            "Answer the question based on the context. Be concise.\n\n"
+            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
+        )
 
     # -- generation: chunked batched sampling (one device program per chunk),
     # each chunk timed for the same per-query percentile accounting. When the
@@ -296,50 +335,101 @@ def _predict_batch(
     generation_times: List[float] = []
     scored = hasattr(llm, "generate_batch_scored")
     gen_chunk = 64
-    if warm_start and n:
-        _trace("generation warm-start")
-        t_w = time.time()
-        warm_prompts = [
-            "Answer the question based on the context. Be concise.\n\n"
-            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
-            for q, c in zip(questions[:gen_chunk], contexts[:gen_chunk])
-        ]
-        warm_t = [0.1] * len(warm_prompts)
-        warm_p = [0.9] * len(warm_prompts)
-        if scored:
-            llm.generate_batch_scored(warm_prompts, warm_t, warm_p,
-                                      max_tokens=100)
-        else:
-            llm.generate_batch(warm_prompts, warm_t, warm_p, max_tokens=100)
-        cold_start["generation_ms"] = (time.time() - t_w) * 1000.0
-    for s in range(0, n, gen_chunk):
-        _trace(f"generation chunk {s}/{n}")
-        t_g = time.time()
-        chunk_q = questions[s : s + gen_chunk]
-        chunk_c = contexts[s : s + gen_chunk]
-        prompts = [
-            "Answer the question based on the context. Be concise.\n\n"
-            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
-            for q, c in zip(chunk_q, chunk_c)
-        ]
-        temps = [0.1] * len(prompts)
-        tops = [0.9] * len(prompts)
-        if scored:
+    if per_passage:
+        # B queries become B*P rows of the SAME batched device program —
+        # chunk by whole queries so per-query timing stays clean.
+        q_per_chunk = max(1, gen_chunk // max(context_passages, 1))
+        if warm_start and n:
+            _trace("generation warm-start")
+            t_w = time.time()
+            warm = [
+                _prompt(q, c)
+                for q, cands in zip(
+                    questions[:q_per_chunk], pp_ctx[:q_per_chunk]
+                )
+                for c in cands
+            ]
+            llm.generate_batch_scored(
+                warm, [0.1] * len(warm), [0.9] * len(warm), max_tokens=100
+            )
+            cold_start["generation_ms"] = (time.time() - t_w) * 1000.0
+        for s in range(0, n, q_per_chunk):
+            _trace(f"generation chunk {s}/{n}")
+            t_g = time.time()
+            group = pp_ctx[s : s + q_per_chunk]
+            flat = [
+                _prompt(q, c)
+                for q, cands in zip(questions[s : s + q_per_chunk], group)
+                for c in cands
+            ]
             txts, mean_lp, min_lp = llm.generate_batch_scored(
-                prompts, temps, tops, max_tokens=100
+                flat, [0.1] * len(flat), [0.9] * len(flat), max_tokens=100
             )
-            predictions.extend(txts)
-            gen_logprobs.extend(
-                [float(m), float(mn)] for m, mn in zip(mean_lp, min_lp)
+            off = 0
+            for i, cands in enumerate(group):
+                k = len(cands)
+                lps = np.asarray(mean_lp[off : off + k], dtype=np.float64)
+                # Blank decodes never win over a non-blank candidate, no
+                # matter how confident the model is about saying nothing.
+                blank = np.asarray(
+                    [not (txts[off + j] or "").strip() for j in range(k)]
+                )
+                if not blank.all():
+                    lps = np.where(blank, -np.inf, lps)
+                # argmax keeps the FIRST max -> retrieval-rank tiebreak.
+                best = int(np.argmax(lps))
+                predictions.append(txts[off + best])
+                gen_logprobs.append(
+                    [float(mean_lp[off + best]), float(min_lp[off + best])]
+                )
+                # Downstream confidence (MC, grounding features) sees the
+                # winning passage — the context actually answered from.
+                contexts[s + i] = cands[best]
+                off += k
+            generation_times.extend(
+                [(time.time() - t_g) / len(group)] * len(group)
             )
-        else:
-            predictions.extend(
-                llm.generate_batch(prompts, temps, tops, max_tokens=100)
+    else:
+        if warm_start and n:
+            _trace("generation warm-start")
+            t_w = time.time()
+            warm_prompts = [
+                _prompt(q, c)
+                for q, c in zip(questions[:gen_chunk], contexts[:gen_chunk])
+            ]
+            warm_t = [0.1] * len(warm_prompts)
+            warm_p = [0.9] * len(warm_prompts)
+            if scored:
+                llm.generate_batch_scored(warm_prompts, warm_t, warm_p,
+                                          max_tokens=100)
+            else:
+                llm.generate_batch(warm_prompts, warm_t, warm_p,
+                                   max_tokens=100)
+            cold_start["generation_ms"] = (time.time() - t_w) * 1000.0
+        for s in range(0, n, gen_chunk):
+            _trace(f"generation chunk {s}/{n}")
+            t_g = time.time()
+            chunk_q = questions[s : s + gen_chunk]
+            chunk_c = contexts[s : s + gen_chunk]
+            prompts = [_prompt(q, c) for q, c in zip(chunk_q, chunk_c)]
+            temps = [0.1] * len(prompts)
+            tops = [0.9] * len(prompts)
+            if scored:
+                txts, mean_lp, min_lp = llm.generate_batch_scored(
+                    prompts, temps, tops, max_tokens=100
+                )
+                predictions.extend(txts)
+                gen_logprobs.extend(
+                    [float(m), float(mn)] for m, mn in zip(mean_lp, min_lp)
+                )
+            else:
+                predictions.extend(
+                    llm.generate_batch(prompts, temps, tops, max_tokens=100)
+                )
+                gen_logprobs.extend([[0.0, 0.0]] * len(prompts))
+            generation_times.extend(
+                [(time.time() - t_g) / len(chunk_q)] * len(chunk_q)
             )
-            gen_logprobs.extend([[0.0, 0.0]] * len(prompts))
-        generation_times.extend(
-            [(time.time() - t_g) / len(chunk_q)] * len(chunk_q)
-        )
     generation_total = float(sum(generation_times))
 
     # -- real UQ confidence instead of the reference's length placeholder.
@@ -430,6 +520,7 @@ def run_evaluation(
     output_dir: str = "results",
     save: bool = True,
     calibration_samples: Optional[Sequence[dict]] = None,
+    context_policy: str = "concat",
 ) -> Dict:
     """Batched evaluation through the device hot path.
 
@@ -459,6 +550,7 @@ def run_evaluation(
     pred = _predict_batch(
         retriever, samples, llm, router, conformal, mc,
         top_k, context_passages, max_context_chars,
+        context_policy=context_policy,
     )
     questions = pred["questions"]
     ids = pred["ids"]
@@ -482,6 +574,7 @@ def run_evaluation(
             retriever, list(calibration_samples), llm, router, conformal, mc,
             top_k, context_passages, max_context_chars,
             warm_start=False,  # test pass above already compiled everything
+            context_policy=context_policy,
         )
         # Correctness = match against ANY gold alias (advisor finding r2:
         # first-alias-only labels bias the fitted p(correct|score) low and
@@ -826,6 +919,11 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--dense-dir", default="./data/dense_index")
     parser.add_argument("--output-dir", default="results")
     parser.add_argument("--ablation", action="store_true")
+    parser.add_argument("--context-policy", default="concat",
+                        choices=("concat", "per_passage"),
+                        help="How retrieved passages become generator "
+                        "context: reference-verbatim concat, or one "
+                        "generation row per passage with logprob selection")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -846,6 +944,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     results = run_evaluation(
         retriever, samples, router=router,
         mc_samples=args.mc_samples, output_dir=args.output_dir,
+        context_policy=args.context_policy,
     )
     print(json.dumps(results["summary"], indent=2))
     if args.ablation:

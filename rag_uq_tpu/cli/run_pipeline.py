@@ -357,6 +357,9 @@ def run_pipeline(
         mc_samples=8 if uq_mode == "mc_variance" else 0,
         calibration_samples=cal_samples,
         output_dir=str(work / "results"),
+        # "per_passage" closes the concat-distractor extraction gap measured
+        # in runs/demo_full_r3/results/extraction_decomposition.json.
+        context_policy=scales.get("context_policy", "concat"),
     )
     timings["evaluation_s"] = round(time.time() - t0, 1)
 

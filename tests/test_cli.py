@@ -216,6 +216,62 @@ class TestEvaluateCLI:
         assert hr["oracle_mrr"] == arms["oracle_router"]["mrr"]
         assert hr["best_fixed_mrr"] >= arms["fixed_hybrid_balanced"]["mrr"] - 1e-9
 
+    def test_per_passage_context_policy(self, retriever, tmp_path):
+        """context_policy="per_passage": one generation row per retrieved
+        passage, highest-mean-logprob non-blank answer wins, and the winning
+        passage becomes the downstream context. Motivated by the r4
+        extraction-gap decomposition (gold-alone EM 0.995 vs 3-passage
+        concat 0.763)."""
+
+        class _ScoredMock:
+            """Answers with the `number N` phrase of its OWN context row;
+            logprob peaks on the gold passage; one distractor row decodes
+            blank with an even higher logprob (must not win)."""
+
+            def generate_batch(self, prompts, temps, tops, max_tokens=100):
+                return [""] * len(prompts)
+
+            def generate_batch_scored(self, prompts, temps, tops,
+                                      max_tokens=100):
+                import re
+
+                txts, mean_lp, min_lp = [], [], []
+                for p in prompts:
+                    ctx = p.split("Context: ", 1)[1].split("\n\nQuestion:")[0]
+                    m = re.search(r"number \d+", ctx)
+                    ans = m.group(0) if m else ""
+                    if "number 7" in ctx:
+                        txts.append(ans)
+                        mean_lp.append(-0.1)
+                    elif "number 12" in ctx:
+                        txts.append("")  # blank decode, max logprob
+                        mean_lp.append(0.0)
+                    else:
+                        txts.append(ans)
+                        mean_lp.append(-3.0)
+                    min_lp.append(-1.0)
+                return txts, mean_lp, min_lp
+
+        samples = [{"question": "topic2 number 7", "answers": ["number 7"]}]
+        results = run_evaluation(
+            retriever, samples, llm=_ScoredMock(),
+            output_dir=str(tmp_path / "results_pp"),
+            context_policy="per_passage",
+        )
+        # The gold passage's answer wins even though the blank decode from
+        # the "number 12" distractor carries a higher mean logprob.
+        assert results["generation"]["exact_match"] == 1.0
+        assert results["summary"]["n_queries"] == 1
+
+        # Fallback: a generator without generate_batch_scored silently uses
+        # the concat policy (no crash, same row count).
+        results2 = run_evaluation(
+            retriever, samples, llm=MockLLM(["number 7"]),
+            output_dir=str(tmp_path / "results_pp_fb"),
+            context_policy="per_passage",
+        )
+        assert results2["summary"]["n_queries"] == 1
+
     def test_router_order_clamps_to_trained_width(self):
         """_router_order scores only the trained head; tail columns keep
         their pool order after the head (advisor r3 pool-width shift)."""
