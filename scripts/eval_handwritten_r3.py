@@ -89,6 +89,10 @@ results = run_evaluation(
     retriever, samples, llm=llm, router=router,
     mc_samples=int(os.environ.get("HW_MC", "8")),
     output_dir=str(WORK / "results" / OUT_SUB),
+    # HW_POLICY=per_passage: one generation row per retrieved passage with
+    # logprob selection (cli/evaluate.py context_policy) instead of the
+    # reference's concat protocol.
+    context_policy=os.environ.get("HW_POLICY", "concat"),
 )
 print(f"evaluation in {time.time()-t0:.1f}s", flush=True)
 out = {

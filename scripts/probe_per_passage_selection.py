@@ -1,0 +1,186 @@
+"""Probe the per-passage logprob-selection policy's quality (r4).
+
+The extraction decomposition bounds the concat policy (top-3 concat EM
+0.585 vs gold-alone 0.995, gold_in_top3 0.76): per-passage generation with
+perfect selection would score ~0.76 on the same 200-query split. This
+probe measures how much of that the actual selector (highest mean token
+logprob among non-blank answers, cli/evaluate.py context_policy=
+"per_passage") captures, on the first N of the same queries:
+
+  per_passage_em     EM of the answer the selector keeps
+  oracle_pp_em       EM if an oracle picked the best candidate answer
+  sel_acc_gold_in3   P(selected passage is gold | gold in top-3)
+  concat_em          top-3 concat EM on the same subset (comparison twin)
+
+Writes <workdir>/results/per_passage_probe.json incrementally.
+Usage: python scripts/probe_per_passage_selection.py [workdir] [n]
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+WORK = Path(sys.argv[1] if len(sys.argv) > 1 else "runs/demo_full_r3")
+N = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+SEED = 0
+CAL = 500
+
+from rag_uq_tpu.core.config import Config, EmbedderConfig
+from rag_uq_tpu.data.loaders import load_qa_jsonl
+
+samples = load_qa_jsonl(str(WORK / "nq.jsonl"))[CAL : CAL + N]
+print(f"{len(samples)} test questions", flush=True)
+
+from rag_uq_tpu.cli.build_index import build_index_from_jsonl
+
+t0 = time.time()
+retriever = build_index_from_jsonl(
+    str(WORK / "corpus.jsonl"),
+    checkpoint_path="/tmp/pp_probe_index_checkpoint.json",
+    bm25_persist_path=None,
+    dense_persist_directory=None,
+    config=Config(embedder=EmbedderConfig(
+        kind="encoder", checkpoint_path=str(WORK / "encoder/encoder.msgpack"))),
+    resume=False,
+)
+print(f"index rebuilt in {time.time()-t0:.1f}s", flush=True)
+
+from flax import serialization
+from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
+from rag_uq_tpu.llm.train import LMTrainConfig, TinyLMTrainer
+
+lm_ckpt = "models/tiny_lm/tiny_lm.msgpack"
+with open(lm_ckpt + ".json") as f:
+    ckpt_meta = json.load(f)
+model_cfg = TinyLMConfig(**ckpt_meta["model_config"])
+lm_trainer = TinyLMTrainer(
+    model_cfg,
+    LMTrainConfig(seq_len=model_cfg.max_prompt_len, batch_size=32,
+                  total_steps=1, warmup_steps=1, seed=SEED),
+)
+with open(lm_ckpt, "rb") as f:
+    lm_trainer.params = serialization.from_bytes(lm_trainer.params, f.read())
+llm = lm_trainer.export_sampler(seed=SEED)
+
+from rag_uq_tpu.cli.evaluate import _router_order, _router_pool_width
+from rag_uq_tpu.eval import metrics as M
+from rag_uq_tpu.router.model import RetrievalRouter
+from rag_uq_tpu.router.train import RouterTrainer
+
+router = RetrievalRouter()
+RouterTrainer(router).load_checkpoint(str(WORK / "router/final_router.msgpack"))
+
+store = retriever.documents
+questions = [s["question"] for s in samples]
+answers = [s.get("answers") or [s.get("answer", "")] for s in samples]
+gold_ids = [set(s.get("gold_doc_ids") or []) for s in samples]
+
+pool_p = _router_pool_width(router, 10)
+ret_ids, ret_texts = [], []
+for s in range(0, len(questions), 128):
+    chunk = questions[s : s + 128]
+    b, d, c_ids, c_texts = retriever.get_scores_for_router_batch(
+        chunk, num_passages=pool_p, pool_order="balanced"
+    )
+    w, order = _router_order(router, b, d)
+    ret_ids.extend([row[j] for j in order[i]] for i, row in enumerate(c_ids))
+    ret_texts.extend(
+        [row[j] for j in order[i]] for i, row in enumerate(c_texts)
+    )
+print("retrieval done", flush=True)
+
+
+def prompt(q, c):
+    return ("Answer the question based on the context. Be concise.\n\n"
+            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:")
+
+
+def em(pred, i):
+    return M.exact_match(pred, M.best_reference(pred, answers[i]))
+
+
+out_path = WORK / "results/per_passage_probe.json"
+out_path.parent.mkdir(parents=True, exist_ok=True)
+
+# -- per-passage rows, chunked by whole queries (P=3) -------------------------
+P = 3
+rows = []  # (query_idx, cand_idx, doc_id, context)
+for i in range(len(samples)):
+    cands = [
+        (did, t[:2000]) for did, t in zip(ret_ids[i][:P], ret_texts[i][:P])
+        if t
+    ] or [(None, "")]
+    rows.extend((i, j, did, c) for j, (did, c) in enumerate(cands))
+
+sel_pred = [None] * len(samples)
+sel_doc = [None] * len(samples)
+cand_preds = [[] for _ in samples]
+t0 = time.time()
+CHUNK = 63  # 21 queries of 3 rows
+for s in range(0, len(rows), CHUNK):
+    grp = rows[s : s + CHUNK]
+    prompts = [prompt(questions[i], c) for i, _, _, c in grp]
+    txts, mean_lp, min_lp = llm.generate_batch_scored(
+        prompts, [0.1] * len(prompts), [0.9] * len(prompts), max_tokens=100
+    )
+    for (i, j, did, c), txt, lp in zip(grp, txts, mean_lp):
+        cand_preds[i].append((j, did, txt, float(lp)))
+    print(f"[{time.strftime('%H:%M:%S')}] pp rows {s}/{len(rows)}", flush=True)
+pp_gen_s = time.time() - t0
+
+for i, cands in enumerate(cand_preds):
+    nonblank = [c for c in cands if (c[2] or "").strip()] or cands
+    j, did, txt, lp = max(nonblank, key=lambda c: (c[3], -c[0]))
+    # max() keeps the first on exact ties only with the -index tiebreak
+    sel_pred[i] = txt
+    sel_doc[i] = did
+
+pp_em = float(np.mean([em(sel_pred[i], i) for i in range(len(samples))]))
+oracle_em = float(np.mean([
+    max(em(t, i) for _, _, t, _ in cand_preds[i]) for i in range(len(samples))
+]))
+gold_in3 = [
+    any(did in gold_ids[i] for did in ret_ids[i][:P] if did is not None)
+    for i in range(len(samples))
+]
+sel_acc = float(np.mean([
+    1.0 if sel_doc[i] in gold_ids[i] else 0.0
+    for i in range(len(samples)) if gold_in3[i]
+])) if any(gold_in3) else None
+
+out = {
+    "n": len(samples),
+    "per_passage_em": pp_em,
+    "oracle_pp_em": oracle_em,
+    "sel_acc_gold_in3": sel_acc,
+    "gold_in_top3_rate": float(np.mean(gold_in3)),
+    "pp_gen_s": round(pp_gen_s, 1),
+    "partial": True,
+}
+out_path.write_text(json.dumps(out, indent=2))
+print(json.dumps(out, indent=2), flush=True)
+
+# -- concat twin on the same subset -------------------------------------------
+t0 = time.time()
+concat_preds = []
+for s in range(0, len(samples), 64):
+    prompts = [
+        prompt(questions[i],
+               " ".join(t for t in ret_texts[i][:P] if t)[:2000])
+        for i in range(s, min(s + 64, len(samples)))
+    ]
+    txts, _, _ = llm.generate_batch_scored(
+        prompts, [0.1] * len(prompts), [0.9] * len(prompts), max_tokens=100
+    )
+    concat_preds.extend(txts)
+    print(f"[{time.strftime('%H:%M:%S')}] concat {s}/{len(samples)}",
+          flush=True)
+out["concat_em"] = float(
+    np.mean([em(concat_preds[i], i) for i in range(len(samples))])
+)
+out["concat_gen_s"] = round(time.time() - t0, 1)
+del out["partial"]
+out_path.write_text(json.dumps(out, indent=2))
+print(json.dumps(out, indent=2), flush=True)
