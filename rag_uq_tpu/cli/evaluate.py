@@ -748,6 +748,19 @@ def run_evaluation(
         results["generation"]["by_slice"] = by_slice
     if scaling_info is not None:
         results["confidence_scaling"] = scaling_info
+    # Self-describing artifact: which context policy produced these numbers
+    # (and whether per_passage actually engaged or fell back to concat).
+    results["protocol"] = {
+        "context_policy": context_policy,
+        "context_policy_effective": (
+            context_policy
+            if context_policy == "concat"
+            or hasattr(llm, "generate_batch_scored")
+            else "concat"
+        ),
+        "context_passages": context_passages,
+        "top_k": top_k,
+    }
     if save:
         with open(Path(output_dir) / "evaluation_results.json", "w") as f:
             json.dump(results, f, indent=2)
