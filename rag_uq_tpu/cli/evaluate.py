@@ -26,7 +26,7 @@ import os
 import sys
 import time
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -60,6 +60,36 @@ def generate_answer(llm, question: str, context: str, max_tokens: int = 100) -> 
         f"Context: {context}\n\nQuestion: {question}\n\nAnswer:"
     )
     return llm.generate(prompt, temperature=0.1, top_p=0.9, max_tokens=max_tokens)
+
+
+def generate_answer_per_passage(
+    llm, question: str, passages: Sequence[str], max_tokens: int = 100,
+) -> Tuple[str, str]:
+    """Per-passage generation with logprob selection (the serving-time twin
+    of `_predict_batch`'s context_policy="per_passage"): one batched scored
+    generation over the candidate passages, keep the highest-mean-logprob
+    non-blank answer (ties -> better retrieval rank). Returns
+    (answer, winning_passage). Falls back to concat when the generator has
+    no scored path or no passage is non-empty."""
+    cands = [p for p in passages if p]
+    if not cands or not hasattr(llm, "generate_batch_scored"):
+        ctx = " ".join(p for p in passages if p)
+        return generate_answer(llm, question, ctx, max_tokens), ctx
+    prompts = [
+        "Answer the question based on the context. Be concise.\n\n"
+        f"Context: {c}\n\nQuestion: {question}\n\nAnswer:"
+        for c in cands
+    ]
+    txts, mean_lp, _ = llm.generate_batch_scored(
+        prompts, [0.1] * len(prompts), [0.9] * len(prompts),
+        max_tokens=max_tokens,
+    )
+    lps = np.asarray(mean_lp, dtype=np.float64)
+    blank = np.asarray([not (t or "").strip() for t in txts])
+    if not blank.all():
+        lps = np.where(blank, -np.inf, lps)
+    best = int(np.argmax(lps))  # first max -> retrieval-rank tiebreak
+    return txts[best], cands[best]
 
 
 def _pseudo_gold_ids(retriever: HybridRetriever, answers: List[str]) -> List[str]:

@@ -324,6 +324,7 @@ def serve_http(
     llm=None,
     host: str = "127.0.0.1",
     port: int = 8080,
+    context_policy: str = "concat",
 ) -> ThreadingHTTPServer:
     """Start the HTTP front end (returns the server; call serve_forever)."""
 
@@ -373,9 +374,19 @@ def serve_http(
             elif self.path == "/answer":
                 question = payload.get("question", "")
                 k = int(payload.get("k", 10))
+                policy = payload.get("context_policy", context_policy)
                 hits = service.search([question], k)[0]
                 context = " ".join(h["text"] for h in hits[:3])[:2000]
-                if llm is not None:
+                if llm is not None and policy == "per_passage":
+                    from rag_uq_tpu.cli.evaluate import (
+                        generate_answer_per_passage,
+                    )
+
+                    answer, context = generate_answer_per_passage(
+                        llm, question,
+                        [h["text"][:2000] for h in hits[:3]],
+                    )
+                elif llm is not None:
                     from rag_uq_tpu.cli.evaluate import generate_answer
 
                     answer = generate_answer(llm, question, context)
@@ -419,6 +430,13 @@ def main(argv=None) -> None:
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8080)
     parser.add_argument(
+        "--context-policy", default="concat",
+        choices=("concat", "per_passage"),
+        help="/answer default context policy (per-request override via the "
+        "context_policy field): concat = reference protocol, per_passage = "
+        "one generation per passage with logprob selection",
+    )
+    parser.add_argument(
         "--sparse-mode", default="scatter", choices=["scatter", "twotier"],
         help="BM25 pool op: 'scatter' (throughput-optimal, default) or "
         "'twotier' (exact low-tier candidates under approx top-k)",
@@ -453,8 +471,8 @@ def main(argv=None) -> None:
         RouterTrainer(router).load_checkpoint(args.router_checkpoint)
     service = QueryService(retriever, router=router,
                            sparse_mode=args.sparse_mode)
-    serve_http(service, llm=llm, host=args.host,
-               port=args.port).serve_forever()
+    serve_http(service, llm=llm, host=args.host, port=args.port,
+               context_policy=args.context_policy).serve_forever()
 
 
 if __name__ == "__main__":

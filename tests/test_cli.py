@@ -406,9 +406,40 @@ class TestServe:
                 body = json.loads(r.read())
             assert body["answer"] == "the answer"
             assert body["passages"]
+
+            # per_passage request-level override with a generator that has
+            # no scored path (MockLLM): must silently fall back to concat,
+            # not crash.
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/answer",
+                data=json.dumps({
+                    "question": "topic3 number 8",
+                    "context_policy": "per_passage",
+                }).encode(),
+                method="POST",
+            )
+            with urllib.request.urlopen(req) as r:
+                body = json.loads(r.read())
+            assert body["answer"] == "the answer"
         finally:
             server.shutdown()
             service.close()
+
+    def test_answer_per_passage_selection(self, corpus_path, tmp_path):
+        """generate_answer_per_passage picks the highest-logprob non-blank
+        candidate and returns its passage as the context."""
+        from rag_uq_tpu.cli.evaluate import generate_answer_per_passage
+
+        class _Scored:
+            def generate_batch_scored(self, prompts, temps, tops,
+                                      max_tokens=100):
+                txts = ["", "mid answer", "best answer"]
+                lps = [0.5, -1.0, -0.2]  # blank has max lp but can't win
+                return txts[: len(prompts)], lps[: len(prompts)], lps
+        ans, ctx = generate_answer_per_passage(
+            _Scored(), "q?", ["p0", "p1", "p2"]
+        )
+        assert ans == "best answer" and ctx == "p2"
 
 
 class TestServeRobustness:
