@@ -53,42 +53,55 @@ def _trace(msg: str) -> None:
               file=sys.stderr, flush=True)
 
 
-def generate_answer(llm, question: str, context: str, max_tokens: int = 100) -> str:
-    """Greedy-ish answer generation, T=0.1 (parity :67-92)."""
-    prompt = (
+def build_qa_prompt(question: str, context: str) -> str:
+    """THE QA prompt template (reference parity run_evaluation.py:157-170).
+    Single definition: eval, serving, and the analysis scripts must stay
+    byte-identical or the per-passage selector's eval numbers stop
+    describing the deployed path."""
+    return (
         "Answer the question based on the context. Be concise.\n\n"
         f"Context: {context}\n\nQuestion: {question}\n\nAnswer:"
     )
+
+
+def select_best_candidate(texts: Sequence[str], mean_lp: Sequence[float]) -> int:
+    """Per-passage answer selection: highest mean token logprob among
+    non-blank candidates (a blank decode never wins over a non-blank one),
+    exact ties -> the FIRST, i.e. the better retrieval rank."""
+    lps = np.asarray(mean_lp, dtype=np.float64)
+    blank = np.asarray([not (t or "").strip() for t in texts])
+    if not blank.all():
+        lps = np.where(blank, -np.inf, lps)
+    return int(np.argmax(lps))
+
+
+def generate_answer(llm, question: str, context: str, max_tokens: int = 100) -> str:
+    """Greedy-ish answer generation, T=0.1 (parity :67-92)."""
+    prompt = build_qa_prompt(question, context)
     return llm.generate(prompt, temperature=0.1, top_p=0.9, max_tokens=max_tokens)
 
 
 def generate_answer_per_passage(
-    llm, question: str, passages: Sequence[str], max_tokens: int = 100,
+    llm, question: str, passages: Sequence[str],
+    max_tokens: int = 100, max_context_chars: int = 2000,
 ) -> Tuple[str, str]:
     """Per-passage generation with logprob selection (the serving-time twin
     of `_predict_batch`'s context_policy="per_passage"): one batched scored
     generation over the candidate passages, keep the highest-mean-logprob
     non-blank answer (ties -> better retrieval rank). Returns
-    (answer, winning_passage). Falls back to concat when the generator has
-    no scored path or no passage is non-empty."""
-    cands = [p for p in passages if p]
+    (answer, winning_passage). Falls back to the concat protocol (joined,
+    clipped to `max_context_chars` — same clamp as every concat path) when
+    the generator has no scored path or no passage is non-empty."""
+    cands = [p[:max_context_chars] for p in passages if p]
     if not cands or not hasattr(llm, "generate_batch_scored"):
-        ctx = " ".join(p for p in passages if p)
+        ctx = " ".join(p for p in passages if p)[:max_context_chars]
         return generate_answer(llm, question, ctx, max_tokens), ctx
-    prompts = [
-        "Answer the question based on the context. Be concise.\n\n"
-        f"Context: {c}\n\nQuestion: {question}\n\nAnswer:"
-        for c in cands
-    ]
+    prompts = [build_qa_prompt(question, c) for c in cands]
     txts, mean_lp, _ = llm.generate_batch_scored(
         prompts, [0.1] * len(prompts), [0.9] * len(prompts),
         max_tokens=max_tokens,
     )
-    lps = np.asarray(mean_lp, dtype=np.float64)
-    blank = np.asarray([not (t or "").strip() for t in txts])
-    if not blank.all():
-        lps = np.where(blank, -np.inf, lps)
-    best = int(np.argmax(lps))  # first max -> retrieval-rank tiebreak
+    best = select_best_candidate(txts, mean_lp)
     return txts[best], cands[best]
 
 
@@ -348,11 +361,7 @@ def _predict_batch(
             for i, row in enumerate(texts)
         ]
 
-    def _prompt(q: str, c: str) -> str:
-        return (
-            "Answer the question based on the context. Be concise.\n\n"
-            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
-        )
+    _prompt = build_qa_prompt  # single template definition for all paths
 
     # -- generation: chunked batched sampling (one device program per chunk),
     # each chunk timed for the same per-query percentile accounting. When the
@@ -398,16 +407,9 @@ def _predict_batch(
             off = 0
             for i, cands in enumerate(group):
                 k = len(cands)
-                lps = np.asarray(mean_lp[off : off + k], dtype=np.float64)
-                # Blank decodes never win over a non-blank candidate, no
-                # matter how confident the model is about saying nothing.
-                blank = np.asarray(
-                    [not (txts[off + j] or "").strip() for j in range(k)]
+                best = select_best_candidate(
+                    txts[off : off + k], mean_lp[off : off + k]
                 )
-                if not blank.all():
-                    lps = np.where(blank, -np.inf, lps)
-                # argmax keeps the FIRST max -> retrieval-rank tiebreak.
-                best = int(np.argmax(lps))
                 predictions.append(txts[off + best])
                 gen_logprobs.append(
                     [float(mean_lp[off + best]), float(min_lp[off + best])]

@@ -28,6 +28,7 @@ import numpy as np
 from rag_uq_tpu.core.config import DenseIndexConfig, EmbedderConfig
 from rag_uq_tpu.core.types import DocStore, Document
 from rag_uq_tpu.embed.base import Embedder, get_embedder
+from rag_uq_tpu.text.tokenize import TOKENIZER_VERSION
 from rag_uq_tpu.ops.topk import cosine_topk, gather_scores
 
 logger = logging.getLogger(__name__)
@@ -212,13 +213,29 @@ class DenseIndex:
             for d in docs:
                 f.write(json.dumps(d) + "\n")
         with open(out / "meta.json", "w") as f:
-            json.dump({"size": self._size, "dim": self.config.embedding_dim}, f)
+            json.dump({
+                "size": self._size,
+                "dim": self.config.embedding_dim,
+                # Stored vectors bake in the build-time tokenization (hash
+                # embedder buckets / encoder token ids); queries embedded
+                # under a different tokenizer silently lose recall — same
+                # guard as BM25Index (index/sparse.py).
+                "tokenizer": TOKENIZER_VERSION,
+            }, f)
         logger.info("Saved dense index (%d rows) to %s", self._size, out)
 
     def _load(self) -> None:
         out = self.persist_directory
         with open(out / "meta.json") as f:
             meta = json.load(f)
+        saved_tok = meta.get("tokenizer", "v1-bare-split")
+        if saved_tok != TOKENIZER_VERSION:
+            logger.warning(
+                "Dense index %s was built with tokenizer %s (current: %s); "
+                "query embeddings will not match the stored document "
+                "vectors — rebuild the index",
+                out, saved_tok, TOKENIZER_VERSION,
+            )
         vecs = np.load(out / "embeddings.npy")
         docs = []
         with open(out / "docs.jsonl") as f:

@@ -101,11 +101,9 @@ def gen(contexts, tag=""):
     for s in range(0, len(contexts), 64):
         chunk_q = questions[s : s + 64]
         chunk_c = contexts[s : s + 64]
-        prompts = [
-            "Answer the question based on the context. Be concise.\n\n"
-            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:"
-            for q, c in zip(chunk_q, chunk_c)
-        ]
+        from rag_uq_tpu.cli.evaluate import build_qa_prompt
+
+        prompts = [build_qa_prompt(q, c) for q, c in zip(chunk_q, chunk_c)]
         preds.extend(llm.generate_batch(
             prompts, [0.1] * len(prompts), [0.9] * len(prompts), max_tokens=100
         ))

@@ -92,9 +92,7 @@ for s in range(0, len(questions), 128):
 print("retrieval done", flush=True)
 
 
-def prompt(q, c):
-    return ("Answer the question based on the context. Be concise.\n\n"
-            f"Context: {c}\n\nQuestion: {q}\n\nAnswer:")
+from rag_uq_tpu.cli.evaluate import build_qa_prompt as prompt
 
 
 def em(pred, i):
@@ -130,12 +128,13 @@ for s in range(0, len(rows), CHUNK):
     print(f"[{time.strftime('%H:%M:%S')}] pp rows {s}/{len(rows)}", flush=True)
 pp_gen_s = time.time() - t0
 
+from rag_uq_tpu.cli.evaluate import select_best_candidate
+
 for i, cands in enumerate(cand_preds):
-    nonblank = [c for c in cands if (c[2] or "").strip()] or cands
-    j, did, txt, lp = max(nonblank, key=lambda c: (c[3], -c[0]))
-    # max() keeps the first on exact ties only with the -index tiebreak
-    sel_pred[i] = txt
-    sel_doc[i] = did
+    cands = sorted(cands, key=lambda c: c[0])  # candidate rank order
+    b = select_best_candidate([c[2] for c in cands], [c[3] for c in cands])
+    sel_pred[i] = cands[b][2]
+    sel_doc[i] = cands[b][1]
 
 pp_em = float(np.mean([em(sel_pred[i], i) for i in range(len(samples))]))
 oracle_em = float(np.mean([

@@ -102,6 +102,35 @@ class TestDenseIndex:
         assert len(idx2) == 20
         assert idx2.search("doc 5", 1)[0][0] == idx.search("doc 5", 1)[0][0]
 
+    def test_tokenizer_version_guard(self, tmp_path, caplog):
+        """A persisted index built under an older tokenizer loads but warns
+        (same guard as BM25Index): stored doc vectors bake in build-time
+        tokenization, so silently mismatched query embeddings lose recall."""
+        import json
+        import logging
+
+        idx = DenseIndex(
+            embedder=Sha256Embedder(dim=64),
+            config=SMALL_CFG,
+            persist_directory=str(tmp_path),
+        )
+        idx.add_documents([Document(str(i), f"doc {i}") for i in range(3)])
+        idx.save()
+        meta = json.loads((tmp_path / "meta.json").read_text())
+        from rag_uq_tpu.text.tokenize import TOKENIZER_VERSION
+
+        assert meta["tokenizer"] == TOKENIZER_VERSION
+        meta["tokenizer"] = "v1-bare-split"
+        (tmp_path / "meta.json").write_text(json.dumps(meta))
+        with caplog.at_level(logging.WARNING):
+            idx2 = DenseIndex(
+                embedder=Sha256Embedder(dim=64),
+                config=SMALL_CFG,
+                persist_directory=str(tmp_path),
+            )
+        assert len(idx2) == 3  # still loads
+        assert any("tokenizer" in r.message for r in caplog.records)
+
 
 class TestHybridRetriever:
     @pytest.fixture(scope="class")
