@@ -324,14 +324,18 @@ class ShardedHybridIndex:
         delta_cap = delta["n_docs_cap"] if delta else 0
         delta_max_df = delta["max_df"] if delta else 0
         router_key = tuple(sorted(vars(router.config).items())) if router else None
+        router_width = (
+            getattr(router, "trained_num_passages", None) if router else None
+        )
         key = ("fused", top_k, pool, exact, router_key, sparse_mode,
                state["shard_cap"], state["twotier"]["beam"],
-               delta_cap, delta_max_df)
+               delta_cap, delta_max_df, router_width)
         if key not in self._searchers:
             self._searchers[key] = make_fused_sharded_query(
                 self.mesh,
                 shard_cap=state["shard_cap"],
                 router_module=router.module if router is not None else None,
+                router_width=router_width,
                 k=top_k,
                 pool=pool,
                 beam=state["twotier"]["beam"],

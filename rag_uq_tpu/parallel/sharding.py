@@ -264,6 +264,7 @@ def make_fused_sharded_query(
     mesh: Mesh,
     shard_cap: int,
     router_module=None,
+    router_width: Optional[int] = None,  # router.trained_num_passages
     k: int = 10,
     pool: int = 50,
     beam: int = 128,
@@ -413,6 +414,7 @@ def make_fused_sharded_query(
         return fuse_pools_select(
             bvals, bidx, dvals, didx, k,
             router_module=router_module, router_vars=router_vars,
+            router_width=router_width,
         )
 
     if router_module is not None:

@@ -83,6 +83,7 @@ def fuse_pools_select(
     k: int,
     router_module=None,
     router_vars=None,
+    router_width: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Union-merge the two pools, fuse (router or fixed), select final top-k.
 
@@ -91,11 +92,27 @@ def fuse_pools_select(
     so the two paths cannot drift. Reference semantics:
     streaming_index.py:498-521 (union + mean-of-max-normalized fusion) or
     retrieval_router.py:199 (learned gating).
+
+    `router_width` clamps the gate to the pool width it was trained on
+    (router.trained_num_passages, reference num_passages=20): the deployed
+    policy then matches the eval protocol (cli/evaluate._router_order over
+    the "balanced" pool) — balanced-select the `router_width` head of the
+    union pool by best single-tower rank, router-rerank ONLY that head, and
+    rank every non-selected member after it in fixed-fusion order. Without
+    it the gate scores the full ~2*pool merged columns, a train/serve
+    distribution shift (advisor r3; review r4).
     """
     positions, bm25_scores, dense_scores = merge_pools(bvals, bidx, dvals, didx)
     live = positions >= 0
 
     if router_module is not None and router_vars is not None:
+        M = bm25_scores.shape[-1]
+        w = min(router_width or M, M)
+        if w < M:
+            return _router_head_select(
+                positions, bm25_scores, dense_scores, live, k, w,
+                router_module, router_vars,
+            )
         weights = router_module.apply(
             router_vars, bm25_scores, dense_scores,
             update_stats=False, train=False,
@@ -115,8 +132,74 @@ def fuse_pools_select(
     return vals, out_pos
 
 
+def _router_head_select(
+    positions: jax.Array,
+    bm25_scores: jax.Array,
+    dense_scores: jax.Array,
+    live: jax.Array,
+    k: int,
+    w: int,
+    router_module,
+    router_vars,
+) -> Tuple[jax.Array, jax.Array]:
+    """Balanced-head router rerank at the trained width — the in-program
+    twin of the host-side eval protocol (get_scores_for_router_batch
+    pool_order="balanced" + cli/evaluate._router_order): select the w-member
+    head by best single-tower rank (fused-score tiebreak), present it in
+    fixed-fusion order, gate ONLY that head, and rank all non-selected
+    members after it in fixed-fusion order. All small [B, M] sorts (M ~ 100)
+    — trivial VPU work next to the towers."""
+    neg = -jnp.inf
+    M = positions.shape[-1]
+    b_live = jnp.where(live, bm25_scores, neg)
+    d_live = jnp.where(live, dense_scores, neg)
+    max_b = jnp.maximum(jnp.max(b_live, axis=-1, keepdims=True), 1e-12)
+    max_d = jnp.maximum(jnp.max(d_live, axis=-1, keepdims=True), 1e-12)
+    fused_s = jnp.where(
+        live, (bm25_scores / max_b + dense_scores / max_d) / 2.0, neg
+    )
+    rank_b = jnp.argsort(jnp.argsort(-b_live, axis=-1), axis=-1)
+    rank_d = jnp.argsort(jnp.argsort(-d_live, axis=-1), axis=-1)
+    min_rank = jnp.where(live, jnp.minimum(rank_b, rank_d), M + 1)
+    # Balanced selection: primary best single-tower rank, secondary fused.
+    sel = jnp.lexsort((-fused_s, min_rank), axis=-1)[..., :w]
+    sel_fused = jnp.take_along_axis(fused_s, sel, axis=-1)
+    head = jnp.take_along_axis(sel, jnp.argsort(-sel_fused, axis=-1), axis=-1)
+    hb = jnp.take_along_axis(bm25_scores, head, axis=-1)
+    hd = jnp.take_along_axis(dense_scores, head, axis=-1)
+    h_live = jnp.take_along_axis(live, head, axis=-1)
+    hb = jnp.where(h_live, hb, 0.0)
+    hd = jnp.where(h_live, hd, 0.0)
+    weights = router_module.apply(
+        router_vars, hb, hd, update_stats=False, train=False,
+    )
+    gated = jnp.where(h_live, weights * hd + (1.0 - weights) * hb, neg)
+    # Per-column rank keys: head members take 0..w-1 by gated score, every
+    # other member w + its fused rank; dead columns sink unconditionally.
+    # Stable argsorts keep tie semantics identical to the numpy eval path.
+    rank_in_head = jnp.argsort(jnp.argsort(-gated, axis=-1), axis=-1)
+    rank_fused = jnp.argsort(jnp.argsort(-fused_s, axis=-1), axis=-1)
+    key = jax.vmap(lambda kk, hh, rr: kk.at[hh].set(rr))(
+        w + rank_fused, head, rank_in_head
+    )
+    key = jnp.where(live, key, 2 * M + w)
+    # Returned scores: the gated score for head members (what ranked them),
+    # the fused score for tail members.
+    vals_src = jax.vmap(lambda f, hh, g: f.at[hh].set(g))(
+        fused_s, head, gated
+    )
+    sel_k = jnp.argsort(key, axis=-1)[..., :k]
+    out_pos = jnp.take_along_axis(positions, sel_k, axis=-1)
+    out_vals = jnp.take_along_axis(vals_src, sel_k, axis=-1)
+    out_live = jnp.take_along_axis(live, sel_k, axis=-1)
+    out_pos = jnp.where(out_live, out_pos, -1)
+    out_vals = jnp.where(out_live, out_vals, 0.0)
+    return out_vals, out_pos
+
+
 def make_fused_hybrid_query(
     router_module=None,
+    router_width: Optional[int] = None,  # router.trained_num_passages
     k: int = 10,
     pool: int = 50,
     block: int = 8192,
@@ -221,6 +304,7 @@ def make_fused_hybrid_query(
         return fuse_pools_select(
             bvals, bidx, dvals, didx, k,
             router_module=router_module, router_vars=router_vars,
+            router_width=router_width,
         )
 
     return fused

@@ -200,10 +200,17 @@ class HybridRetriever:
         # Cache the jitted program per static configuration: a fresh closure
         # per call would retrace/recompile every request.
         lsel = self.bm25_index.config.lsel
+        # Clamp the gate to its trained pool width (deployed-policy parity
+        # with the eval protocol's _router_order; review r4).
+        router_width = (
+            getattr(router, "trained_num_passages", None)
+            if router is not None else None
+        )
         key = (
             min(top_k, 2 * pool), pool, beam, approx, nonneg,
             delta_cap, delta_max_df, sparse_mode, lsel,
             id(router.module) if router is not None else None,
+            router_width,
         )
         if not hasattr(self, "_fused_fns"):
             self._fused_fns = {}
@@ -211,6 +218,7 @@ class HybridRetriever:
         if fused is None:
             fused = make_fused_hybrid_query(
                 router_module=router.module if router is not None else None,
+                router_width=router_width,
                 k=min(top_k, 2 * pool),
                 pool=pool,
                 beam=beam,

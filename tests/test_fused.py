@@ -97,6 +97,44 @@ class TestFusedParity:
         assert vals.shape == (2, 5)
         assert (np.diff(vals, axis=1) <= 1e-6).all()  # sorted desc
 
+    def test_router_clamped_to_trained_width(self, retriever):
+        """With router.trained_num_passages set, the fused serving path
+        gates only the balanced head of the trained width — the deployed
+        twin of the eval protocol (get_scores_for_router_batch balanced +
+        _router_order). Review r4: serving used to gate the full ~2*pool
+        merged columns, a train/serve distribution shift."""
+        from rag_uq_tpu.cli.evaluate import _router_order
+
+        router = RetrievalRouter()
+        router.trained_num_passages = 8
+        queries = ["w1 w2 the", "w10 w3 is"]
+        vals, pos = retriever.hybrid_search_batch(
+            queries, top_k=5, router=router, approx=False
+        )
+        # Host-side protocol oracle on the same queries.
+        bm25, dense, c_ids, _ = retriever.get_scores_for_router_batch(
+            queries, num_passages=8, pool_order="balanced"
+        )
+        w, order = _router_order(router, bm25, dense)
+        for i in range(len(queries)):
+            expect = [c_ids[i][j] for j in order[i] if c_ids[i][j]]
+            got = [
+                retriever.documents.ids[p] for p in pos[i] if p >= 0
+            ]
+            # Every returned doc comes from the trained-width balanced head,
+            # and the top-1 agrees with the host protocol.
+            assert set(got) <= set(expect), (got, expect)
+            assert got[0] == expect[0], (got, expect)
+        assert (np.diff(vals, axis=1) <= 1e-5).all()
+
+        # Width >= merged-pool width degrades to the full-pool gate (old
+        # behavior), still shape-correct.
+        router.trained_num_passages = 4096
+        vals2, pos2 = retriever.hybrid_search_batch(
+            queries, top_k=5, router=router, approx=False
+        )
+        assert vals2.shape == (2, 5)
+
     def test_no_duplicate_positions(self, retriever):
         _vals, pos = retriever.hybrid_search_batch(["w1 w2 the is"], top_k=10,
                                                    approx=False)
