@@ -47,6 +47,9 @@ def run_pipeline(
     lookup_questions: int = 0,
     inverse_questions: int = 0,
     run_ablation: bool = False,
+    question_style: Optional[str] = None,  # "v1" | "v2"
+    router_features: Optional[str] = None,  # e.g. "pool7"
+    context_policy: Optional[str] = None,  # "concat" | "per_passage"
 ) -> dict:
     scales = scales or (
         {"articles": 1500, "nq": 1500, "cal": 100, "test": 50, "epochs": 10,
@@ -55,6 +58,12 @@ def run_pipeline(
         else {"articles": 5000, "nq": 3000, "cal": 500, "test": 200,
               "epochs": 50, "lm_steps": 4000, "enc_steps": 2000}
     )
+    # Protocol knobs: explicit parameters win; scales-dict keys kept as a
+    # compatibility fallback (review r4: non-size configuration was
+    # undiscoverable inside the size-knob dict).
+    question_style = question_style or scales.get("question_style", "v1")
+    router_features = router_features or scales.get("router_features")
+    context_policy = context_policy or scales.get("context_policy", "concat")
     work = Path(workdir)
     work.mkdir(parents=True, exist_ok=True)
     timings = {}
@@ -74,7 +83,7 @@ def run_pipeline(
             # "v2" widens question phrasing registers and asks the four
             # never-asked article attributes (synth_wiki.py v2 comment);
             # default "v1" keeps earlier rounds' worlds byte-identical.
-            question_style=scales.get("question_style", "v1"),
+            question_style=question_style,
         )
         gen_corpus = str(work / "corpus.jsonl")
         gen_nq = str(work / "nq.jsonl")
@@ -285,10 +294,10 @@ def run_pipeline(
     # sparse tower (router/model.py docstring); the checkpoint records the
     # architecture, so downstream loads need no flag.
     router_cfg = None
-    if scales.get("router_features"):
+    if router_features:
         from rag_uq_tpu.core.config import RouterConfig
 
-        router_cfg = RouterConfig(feature_set=scales["router_features"])
+        router_cfg = RouterConfig(feature_set=router_features)
     router_results = train_router(
         train, val, train_config=train_cfg, router_config=router_cfg,
         output_dir=str(work / "router"),
@@ -359,7 +368,7 @@ def run_pipeline(
         output_dir=str(work / "results"),
         # "per_passage" closes the concat-distractor extraction gap measured
         # in runs/demo_full_r3/results/extraction_decomposition.json.
-        context_policy=scales.get("context_policy", "concat"),
+        context_policy=context_policy,
     )
     timings["evaluation_s"] = round(time.time() - t0, 1)
 
@@ -417,6 +426,17 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     parser.add_argument("--ablation", action="store_true",
                         help="run the 4-arm retrieval ablation on the test "
                         "split (per-slice when --semantic is on)")
+    parser.add_argument("--question-style", default=None,
+                        choices=("v1", "v2"),
+                        help="question template table for the generated "
+                        "world (v2 widens phrasing registers)")
+    parser.add_argument("--router-features", default=None,
+                        choices=("reference3", "pool7"),
+                        help="router gate feature set; pool7 adds "
+                        "pool-context features + a reference3 control run")
+    parser.add_argument("--context-policy", default=None,
+                        choices=("concat", "per_passage"),
+                        help="evaluation context policy (cli/evaluate.py)")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
@@ -431,6 +451,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         lookup_questions=args.lookup,
         inverse_questions=args.inverse,
         run_ablation=args.ablation,
+        question_style=args.question_style,
+        router_features=args.router_features,
+        context_policy=args.context_policy,
     )
     print(json.dumps(summary, indent=2, default=str))
 

@@ -39,14 +39,14 @@ summary = run_pipeline(
         "epochs": 50,
         "lm_steps": 4000,
         "enc_steps": 2000,
-        # pool7 gate (plus a reference3 control checkpoint trained on the
-        # same arrays in router_reference3/) — see router/model.py.
-        "router_features": "pool7",
-        # v2 question style: wider phrasing registers + the four article
-        # attributes v1 never asks (the hand-written eval localized the
-        # out-of-family EM collapse to exactly these two axes).
-        "question_style": "v2",
     },
+    # pool7 gate (plus a reference3 control checkpoint trained on the
+    # same arrays in router_reference3/) — see router/model.py.
+    router_features="pool7",
+    # v2 question style: wider phrasing registers + the four article
+    # attributes v1 never asks (the hand-written eval localized the
+    # out-of-family EM collapse to exactly these two axes).
+    question_style="v2",
     alias_questions=3,
     lookup_questions=1,
     inverse_questions=1,

@@ -252,22 +252,50 @@ class TestPool7FeatureSet:
         w2 = np.asarray(plain(bm25, dense, update_stats=False))
         np.testing.assert_allclose(w1, w2, rtol=1e-6)
 
-    def test_scale_invariant_pool_features_differ_from_reference3(self):
-        """pool7 must produce a different gate from reference3 on a needle
-        pattern (one BM25 outlier), i.e. the extra features are live."""
-        bm25 = np.full((1, 10), 1.0, np.float32)
-        bm25[0, 3] = 9.0  # rare-term needle
+    def test_pool_context_features_are_live(self):
+        """The pool7 gate must RESPOND to pool context that the reference3
+        features cannot see. Column 0 carries identical (b, d) scores in a
+        needle pool (one outlier over a flat floor) and a crowded pool
+        (many near-ties at the top): reference3's per-passage features for
+        that column are therefore identical (frozen EMA stats, same raw
+        scores), so its weight must not move — while pool7's within-pool
+        z-score and top1-top2 gap differ, so its weight must. A zeroed
+        _row_stats / gap regression makes the pool7 assertion fail.
+        (Replaces a vacuous cross-architecture comparison whose outputs
+        differed by random init alone — review r4.)"""
+        import jax.numpy as jnp
+
+        needle = np.full((1, 10), 1.0, np.float32)
+        needle[0, 0] = 9.0  # lone rare-term needle
+        crowded = np.linspace(9.0, 8.1, 10, dtype=np.float32)[None, :]
         dense = np.full((1, 10), 0.5, np.float32)
-        w3 = np.asarray(
-            RetrievalRouter(RouterConfig()).eval()(
-                bm25, dense, update_stats=False)
+
+        def _freeze(router):
+            # Freeze the EMA stats (as after training): otherwise a fresh
+            # router falls back to BATCH normalization, which already sees
+            # the pool and would confound the comparison.
+            router.stats = dict(
+                router.stats,
+                initialized=jnp.float32(1.0),
+                bm25_mean=jnp.float32(2.0), bm25_std=jnp.float32(3.0),
+                dense_mean=jnp.float32(0.5), dense_std=jnp.float32(0.2),
+            )
+            return router
+
+        r3 = _freeze(RetrievalRouter(RouterConfig()).eval())
+        w3_needle = np.asarray(r3(needle, dense, update_stats=False))
+        w3_crowd = np.asarray(r3(crowded, dense, update_stats=False))
+        assert np.allclose(w3_needle[0, 0], w3_crowd[0, 0], atol=1e-6), (
+            "reference3 is per-passage: column 0 sees identical inputs"
         )
-        w7 = np.asarray(
-            RetrievalRouter(RouterConfig(feature_set="pool7")).eval()(
-                bm25, dense, update_stats=False)
+
+        r7 = _freeze(RetrievalRouter(RouterConfig(feature_set="pool7")).eval())
+        w7_needle = np.asarray(r7(needle, dense, update_stats=False))
+        w7_crowd = np.asarray(r7(crowded, dense, update_stats=False))
+        assert not np.allclose(w7_needle[0, 0], w7_crowd[0, 0], atol=1e-6), (
+            "pool7's pool-context features are dead: same weight for a "
+            "needle top-1 and a crowded top-1"
         )
-        assert w3.shape == w7.shape
-        assert not np.allclose(w3, w7)
 
 
 class TestPseudoLabels:
