@@ -262,6 +262,11 @@ def _predict_batch(
     of polluting the steady-state tail (VERDICT r3 weak #7: p99 was the
     compile batch, 4968 ms vs p95 458 ms). Chunk widths bucket to fixed
     sizes, so warming the first chunk warms every later chunk's executable.
+    The warm chunk's outputs are deliberately discarded and recomputed in
+    the timed region (review r4): reusing them would either give the first
+    chunk's queries compile-polluted latencies (the original bug) or shrink
+    the percentile basis; the cost is one extra chunk per stage (~6% at
+    n=1000), paid for honest whole-set steady-state percentiles.
     """
     samples = list(samples)
     n = len(samples)
