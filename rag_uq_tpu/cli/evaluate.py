@@ -64,14 +64,38 @@ def build_qa_prompt(question: str, context: str) -> str:
     )
 
 
-def select_best_candidate(texts: Sequence[str], mean_lp: Sequence[float]) -> int:
-    """Per-passage answer selection: highest mean token logprob among
-    non-blank candidates (a blank decode never wins over a non-blank one),
-    exact ties -> the FIRST, i.e. the better retrieval rank."""
+def select_best_candidate(
+    texts: Sequence[str],
+    mean_lp: Sequence[float],
+    contexts: Optional[Sequence[str]] = None,
+) -> int:
+    """Per-passage answer selection, lexicographic (no tuned constants):
+
+      1. non-blank beats blank (a blank decode never wins);
+      2. with `contexts`, GROUNDED beats non-grounded — the normalized
+         answer must appear in its own normalized passage (the task is
+         extractive, so an answer absent from the passage it was read from
+         is a hallucination; same normalization as the grounding
+         confidence features);
+      3. then highest mean token logprob;
+      4. exact ties -> the FIRST, i.e. the better retrieval rank.
+
+    Mean-logprob-only selection picked the gold passage just 43% of the
+    time when present (oracle per-passage EM 0.783 vs achieved 0.35,
+    runs/demo_full_r3/results/per_passage_probe.json) — the grounding
+    tier is the measured corrective; pass contexts=None for the old
+    behavior."""
     lps = np.asarray(mean_lp, dtype=np.float64)
     blank = np.asarray([not (t or "").strip() for t in texts])
     if not blank.all():
         lps = np.where(blank, -np.inf, lps)
+    if contexts is not None:
+        grounded = np.asarray([
+            bool(t) and normalize_answer(t) in normalize_answer(c or "")
+            for t, c in zip(texts, contexts)
+        ])
+        if (grounded & ~blank).any():
+            lps = np.where(grounded, lps, -np.inf)
     return int(np.argmax(lps))
 
 
@@ -101,7 +125,7 @@ def generate_answer_per_passage(
         prompts, [0.1] * len(prompts), [0.9] * len(prompts),
         max_tokens=max_tokens,
     )
-    best = select_best_candidate(txts, mean_lp)
+    best = select_best_candidate(txts, mean_lp, contexts=cands)
     return txts[best], cands[best]
 
 
@@ -192,7 +216,20 @@ def _router_pool_width(router: RetrievalRouter, top_k: int) -> int:
     more results than that are requested (the tail is then NOT router-scored
     — see _router_order). Advisor r3: max(20, 2*top_k) silently widened the
     gate's per-column input distribution for top_k > 10."""
-    trained = getattr(router, "trained_num_passages", None) or 20
+    trained = getattr(router, "trained_num_passages", None)
+    if trained is None:
+        # Legacy checkpoints (pre-r4) don't record their trained pool
+        # width; assuming the protocol default of 20 changes serving
+        # behavior vs the old full-pool gate, so say so once per router
+        # (advisor r4).
+        if not getattr(router, "_warned_default_width", False):
+            logger.warning(
+                "Router checkpoint lacks trained_num_passages; assuming the "
+                "reference protocol width 20 for the gate clamp (legacy "
+                "checkpoints were gated over the full pool)"
+            )
+            router._warned_default_width = True
+        trained = 20
     return max(trained, top_k)
 
 
@@ -356,13 +393,22 @@ def _predict_batch(
         context_policy == "per_passage"
         and hasattr(llm, "generate_batch_scored")
     )
+    winning_slot: List[Optional[int]] = [None] * n
     if per_passage:
         # Per-query candidate contexts: the same retrieved head the concat
         # policy would join, one generation row each (empty slots dropped;
         # a query with no retrieved text falls back to its concat context).
+        # Each candidate keeps its slot index in the retrieved head so the
+        # WINNING passage's doc id is reportable downstream (advisor r4:
+        # gold_in_context must describe the context the generator actually
+        # answered from, not the candidate set).
         pp_ctx = [
-            [t[:max_context_chars] for t in row[:context_passages] if t]
-            or [contexts[i]]
+            [
+                (j, t[:max_context_chars])
+                for j, t in enumerate(row[:context_passages])
+                if t
+            ]
+            or [(None, contexts[i])]
             for i, row in enumerate(texts)
         ]
 
@@ -391,7 +437,7 @@ def _predict_batch(
                 for q, cands in zip(
                     questions[:q_per_chunk], pp_ctx[:q_per_chunk]
                 )
-                for c in cands
+                for _, c in cands
             ]
             llm.generate_batch_scored(
                 warm, [0.1] * len(warm), [0.9] * len(warm), max_tokens=100
@@ -404,7 +450,7 @@ def _predict_batch(
             flat = [
                 _prompt(q, c)
                 for q, cands in zip(questions[s : s + q_per_chunk], group)
-                for c in cands
+                for _, c in cands
             ]
             txts, mean_lp, min_lp = llm.generate_batch_scored(
                 flat, [0.1] * len(flat), [0.9] * len(flat), max_tokens=100
@@ -413,7 +459,8 @@ def _predict_batch(
             for i, cands in enumerate(group):
                 k = len(cands)
                 best = select_best_candidate(
-                    txts[off : off + k], mean_lp[off : off + k]
+                    txts[off : off + k], mean_lp[off : off + k],
+                    contexts=[c for _, c in cands],
                 )
                 predictions.append(txts[off + best])
                 gen_logprobs.append(
@@ -421,7 +468,8 @@ def _predict_batch(
                 )
                 # Downstream confidence (MC, grounding features) sees the
                 # winning passage — the context actually answered from.
-                contexts[s + i] = cands[best]
+                winning_slot[s + i] = cands[best][0]
+                contexts[s + i] = cands[best][1]
                 off += k
             generation_times.extend(
                 [(time.time() - t_g) / len(group)] * len(group)
@@ -541,6 +589,9 @@ def _predict_batch(
         "retrieval_total": retrieval_total,
         "generation_total": generation_total,
         "cold_start": cold_start,
+        # Per-query slot index (into the retrieved head) of the passage the
+        # generator answered from under per_passage; None = concat/fallback.
+        "winning_slot": winning_slot,
     }
 
 
@@ -759,10 +810,27 @@ def run_evaluation(
     # `metadata.slice` labels, mirroring the ablation's by_slice contract.
     sl_labels = [(s.get("metadata") or {}).get("slice") for s in samples]
     if len({s for s in sl_labels if s}) >= 2:
-        gold_in_ctx = [
+        # Candidate-set rate: gold anywhere in the retrieved head the
+        # policy draws from.
+        gold_in_cands = [
             1.0 if any(g in row[:context_passages] for g in gset) else 0.0
             for row, gset in zip(retrieved_ids, gold_ids)
         ]
+        # Effective rate: gold in the context the generator actually
+        # answered from — equal to the candidate rate under concat, but the
+        # single WINNING passage under per_passage (advisor r4: the old
+        # candidate-only metric no longer described the deployed context).
+        win = pred.get("winning_slot") or [None] * len(samples)
+        gold_in_ctx = [
+            (
+                1.0 if w is not None and w < len(ids[i])
+                and ids[i][w] in gold_ids[i] else 0.0
+            )
+            if win[i] is not None
+            else gold_in_cands[i]
+            for i, w in enumerate(win)
+        ]
+        pp_engaged = any(w is not None for w in win)
         by_slice: Dict[str, Dict] = {}
         for sl in sorted({s for s in sl_labels if s}):
             idx = [i for i, s in enumerate(sl_labels) if s == sl]
@@ -782,6 +850,10 @@ def run_evaluation(
                     np.mean([gold_in_ctx[i] for i in idx])
                 ),
             }
+            if pp_engaged:
+                by_slice[sl]["gold_in_candidates_rate"] = float(
+                    np.mean([gold_in_cands[i] for i in idx])
+                )
         results["generation"]["by_slice"] = by_slice
     if scaling_info is not None:
         results["confidence_scaling"] = scaling_info

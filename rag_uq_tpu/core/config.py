@@ -80,6 +80,12 @@ class BM25Config:
     # and exact-mode searches always force one). 0 disables (every dirty
     # search does a full sync).
     delta_sync_fraction: float = 0.0
+    # A persisted index whose saved tokenizer version differs from the
+    # current one is a correctness problem (queries tokenize differently
+    # from the stored vocabulary and recall silently degrades), so loading
+    # one RAISES by default; set True to downgrade to a warning (advisor
+    # r4: the warning-only guard was missable).
+    allow_tokenizer_mismatch: bool = False
 
 
 @dataclass
@@ -91,6 +97,8 @@ class DenseIndexConfig:
     dtype: str = "bfloat16"  # storage dtype for the corpus matrix
     score_block: int = 8192  # corpus rows scored per streaming chunk
     normalize: bool = True  # store L2-normalized rows => cosine via matmul
+    # Same strict tokenizer-version guard as BM25Config (advisor r4).
+    allow_tokenizer_mismatch: bool = False
 
 
 @dataclass

@@ -230,12 +230,19 @@ class DenseIndex:
             meta = json.load(f)
         saved_tok = meta.get("tokenizer", "v1-bare-split")
         if saved_tok != TOKENIZER_VERSION:
-            logger.warning(
-                "Dense index %s was built with tokenizer %s (current: %s); "
-                "query embeddings will not match the stored document "
-                "vectors — rebuild the index",
-                out, saved_tok, TOKENIZER_VERSION,
+            msg = (
+                f"Dense index {out} was built with tokenizer {saved_tok} "
+                f"(current: {TOKENIZER_VERSION}); query embeddings will not "
+                "match the stored document vectors — rebuild the index"
             )
+            # Strict by default: a version mismatch is always a correctness
+            # problem (advisor r4), not a tuning choice.
+            if not self.config.allow_tokenizer_mismatch:
+                raise ValueError(
+                    msg + " (or set DenseIndexConfig."
+                    "allow_tokenizer_mismatch=True to load anyway)"
+                )
+            logger.warning("%s", msg)
         vecs = np.load(out / "embeddings.npy")
         docs = []
         with open(out / "docs.jsonl") as f:

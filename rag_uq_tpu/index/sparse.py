@@ -747,12 +747,20 @@ class BM25Index:
         if saved_tok != TOKENIZER_VERSION:
             # Already-indexed postings stay self-consistent, but new queries
             # and newly added documents tokenize differently from the saved
-            # vocabulary — scores against old terms can silently degrade.
-            logger.warning(
-                "BM25 index %s was built with tokenizer %s (current: %s); "
-                "rebuild the index for consistent tokenization",
-                self.persist_path, saved_tok, TOKENIZER_VERSION,
+            # vocabulary — scores against old terms silently degrade. That
+            # is a correctness problem, not a tuning choice, so strict by
+            # default (advisor r4).
+            msg = (
+                f"BM25 index {self.persist_path} was built with tokenizer "
+                f"{saved_tok} (current: {TOKENIZER_VERSION}); rebuild the "
+                "index for consistent tokenization"
             )
+            if not self.config.allow_tokenizer_mismatch:
+                raise ValueError(
+                    msg + " (or set BM25Config.allow_tokenizer_mismatch=True "
+                    "to load anyway)"
+                )
+            logger.warning("%s", msg)
         for term in meta["terms"]:
             self.vocab.add(term)
         if self._native is not None:

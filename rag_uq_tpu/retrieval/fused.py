@@ -183,11 +183,13 @@ def _router_head_select(
         w + rank_fused, head, rank_in_head
     )
     key = jnp.where(live, key, 2 * M + w)
-    # Returned scores: the gated score for head members (what ranked them),
-    # the fused score for tail members.
-    vals_src = jax.vmap(lambda f, hh, g: f.at[hh].set(g))(
-        fused_s, head, gated
-    )
+    # Returned scores: ONE scale for every row — the max-normalized
+    # fixed-fusion score (<= 1). Ranking (head by gated router score, then
+    # tail by fused) is carried entirely by `key`, so returned vals are NOT
+    # guaranteed descending under the router policy; the previous mix of
+    # raw gated head scores and normalized fused tail scores was
+    # incomparable within one result list (advisor r4).
+    vals_src = fused_s
     sel_k = jnp.argsort(key, axis=-1)[..., :k]
     out_pos = jnp.take_along_axis(positions, sel_k, axis=-1)
     out_vals = jnp.take_along_axis(vals_src, sel_k, axis=-1)

@@ -179,6 +179,10 @@ class HybridRetriever:
         """Batched hybrid search through the fused one-program device path.
 
         Returns (scores [B, k], doc positions [B, k]); -1 marks dead slots.
+        Scores are always the max-normalized mean-fusion relevance (one
+        consistent <=1 scale per query); under a width-clamped router the
+        ROW ORDER follows the deployed gate policy, so scores are ranked by
+        policy, not necessarily descending by value.
         `router` is an optional RetrievalRouter whose gate replaces the fixed
         mean-of-max-normalized fusion. `approx=False` uses exact top-k on
         every branch (slower; bit-comparable to `hybrid_search`).

@@ -112,8 +112,6 @@ for i in range(len(samples)):
     ] or [(None, "")]
     rows.extend((i, j, did, c) for j, (did, c) in enumerate(cands))
 
-sel_pred = [None] * len(samples)
-sel_doc = [None] * len(samples)
 cand_preds = [[] for _ in samples]
 t0 = time.time()
 CHUNK = 63  # 21 queries of 3 rows
@@ -124,40 +122,56 @@ for s in range(0, len(rows), CHUNK):
         prompts, [0.1] * len(prompts), [0.9] * len(prompts), max_tokens=100
     )
     for (i, j, did, c), txt, lp in zip(grp, txts, mean_lp):
-        cand_preds[i].append((j, did, txt, float(lp)))
+        cand_preds[i].append((j, did, txt, float(lp), c))
     print(f"[{time.strftime('%H:%M:%S')}] pp rows {s}/{len(rows)}", flush=True)
 pp_gen_s = time.time() - t0
 
 from rag_uq_tpu.cli.evaluate import select_best_candidate
 
-for i, cands in enumerate(cand_preds):
-    cands = sorted(cands, key=lambda c: c[0])  # candidate rank order
-    b = select_best_candidate([c[2] for c in cands], [c[3] for c in cands])
-    sel_pred[i] = cands[b][2]
-    sel_doc[i] = cands[b][1]
-
-pp_em = float(np.mean([em(sel_pred[i], i) for i in range(len(samples))]))
-oracle_em = float(np.mean([
-    max(em(t, i) for _, _, t, _ in cand_preds[i]) for i in range(len(samples))
-]))
+# One generation pass, FOUR selectors compared on it (r5: the n=60 probe
+# measured mean-lp selection at EM 0.35 vs concat 0.667 — before shipping
+# any per-passage default the selector family must be compared like-for-like
+# on the same candidates):
+#   mean_lp     the r4 selector (logprob only)
+#   grounded    r5 lexicographic (non-blank > grounded-in-own-passage >
+#               logprob > retrieval rank) = the deployed select_best_candidate
+#   rank0       top-1 retrieval only (the decomposition's 0.68 arm)
+#   oracle      best candidate per query (selection ceiling)
+selectors = {
+    "mean_lp": lambda c: select_best_candidate(
+        [x[2] for x in c], [x[3] for x in c]
+    ),
+    "grounded": lambda c: select_best_candidate(
+        [x[2] for x in c], [x[3] for x in c], contexts=[x[4] for x in c]
+    ),
+    "rank0": lambda c: 0,
+}
 gold_in3 = [
     any(did in gold_ids[i] for did in ret_ids[i][:P] if did is not None)
     for i in range(len(samples))
 ]
-sel_acc = float(np.mean([
-    1.0 if sel_doc[i] in gold_ids[i] else 0.0
-    for i in range(len(samples)) if gold_in3[i]
-])) if any(gold_in3) else None
-
-out = {
-    "n": len(samples),
-    "per_passage_em": pp_em,
-    "oracle_pp_em": oracle_em,
-    "sel_acc_gold_in3": sel_acc,
-    "gold_in_top3_rate": float(np.mean(gold_in3)),
-    "pp_gen_s": round(pp_gen_s, 1),
-    "partial": True,
-}
+out = {"n": len(samples), "pp_gen_s": round(pp_gen_s, 1),
+       "gold_in_top3_rate": float(np.mean(gold_in3)), "selectors": {}}
+for name, fn in selectors.items():
+    sel_em, sel_gold = [], []
+    for i, cands in enumerate(cand_preds):
+        cands = sorted(cands, key=lambda c: c[0])
+        b = fn(cands)
+        sel_em.append(em(cands[b][2], i))
+        if gold_in3[i]:
+            sel_gold.append(1.0 if cands[b][1] in gold_ids[i] else 0.0)
+    out["selectors"][name] = {
+        "em": float(np.mean(sel_em)),
+        "sel_acc_gold_in3": float(np.mean(sel_gold)) if sel_gold else None,
+    }
+out["oracle_pp_em"] = float(np.mean([
+    max(em(t, i) for _, _, t, _, _ in cand_preds[i])
+    for i in range(len(samples))
+]))
+# Headline fields kept for artifact continuity with the r4 probe.
+out["per_passage_em"] = out["selectors"]["grounded"]["em"]
+out["sel_acc_gold_in3"] = out["selectors"]["grounded"]["sel_acc_gold_in3"]
+out["partial"] = True
 out_path.write_text(json.dumps(out, indent=2))
 print(json.dumps(out, indent=2), flush=True)
 

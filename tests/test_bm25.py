@@ -152,6 +152,34 @@ class TestPersistence:
             idx2.score_all_batch(["w1 the"]), scores_before, rtol=1e-6
         )
 
+    def test_tokenizer_version_guard(self, corpus, tmp_path, caplog):
+        """Loading an index persisted under an older tokenizer RAISES by
+        default (queries would tokenize differently from the saved
+        vocabulary — a correctness problem, advisor r4); the explicit
+        allow_tokenizer_mismatch flag downgrades it to a warning."""
+        import json
+        import logging
+
+        from rag_uq_tpu.core.config import BM25Config
+
+        path = str(tmp_path / "bm25.json")
+        idx = BM25Index(persist_path=path)
+        idx.add_documents([Document(str(i), corpus[i]) for i in range(5)])
+        meta = json.loads((tmp_path / "bm25.json").read_text())
+        meta["tokenizer"] = "v1-bare-split"
+        (tmp_path / "bm25.json").write_text(json.dumps(meta))
+        import pytest
+
+        with pytest.raises(ValueError, match="tokenizer"):
+            BM25Index(persist_path=path)
+        with caplog.at_level(logging.WARNING):
+            idx2 = BM25Index(
+                persist_path=path,
+                config=BM25Config(allow_tokenizer_mismatch=True),
+            )
+        assert len(idx2) == 5
+        assert any("tokenizer" in r.message for r in caplog.records)
+
 
 class TestLselTruncation:
     def test_lsel_branch_bounded_error(self, corpus, index):

@@ -272,6 +272,39 @@ class TestEvaluateCLI:
         )
         assert results2["summary"]["n_queries"] == 1
 
+    def test_select_best_candidate_lexicographic(self):
+        """Selector tiers: non-blank > blank, grounded > non-grounded
+        (answer must appear in its own passage — the task is extractive),
+        then mean logprob, then retrieval rank. The grounding tier is the
+        corrective for the measured 43% mean-lp-only pick accuracy
+        (runs/demo_full_r3/results/per_passage_probe.json)."""
+        from rag_uq_tpu.cli.evaluate import select_best_candidate
+
+        # Blank never wins, even at max logprob.
+        assert select_best_candidate(["", "ans"], [0.0, -2.0]) == 1
+        # Grounding beats logprob: candidate 0 hallucinated (answer not in
+        # its passage), candidate 1 is grounded with lower logprob.
+        assert select_best_candidate(
+            ["the moon", "number 7"], [-0.1, -2.0],
+            contexts=["topic2 has number 12", "topic2 has number 7"],
+        ) == 1
+        # Grounding matches are normalization-insensitive (case/punct).
+        assert select_best_candidate(
+            ["Number 7.", "other"], [-5.0, -0.1],
+            contexts=["topic2 has number 7", "no answer here"],
+        ) == 0
+        # No candidate grounded -> fall back to pure logprob order.
+        assert select_best_candidate(
+            ["a", "b"], [-3.0, -1.0], contexts=["x", "y"]
+        ) == 1
+        # All else equal -> first (better retrieval rank).
+        assert select_best_candidate(
+            ["same", "same"], [-1.0, -1.0],
+            contexts=["same here", "same here"],
+        ) == 0
+        # contexts=None preserves the legacy mean-lp-only behavior.
+        assert select_best_candidate(["the moon", "ans"], [-0.1, -2.0]) == 0
+
     def test_router_order_clamps_to_trained_width(self):
         """_router_order scores only the trained head; tail columns keep
         their pool order after the head (advisor r3 pool-width shift)."""

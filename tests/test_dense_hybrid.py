@@ -103,9 +103,12 @@ class TestDenseIndex:
         assert idx2.search("doc 5", 1)[0][0] == idx.search("doc 5", 1)[0][0]
 
     def test_tokenizer_version_guard(self, tmp_path, caplog):
-        """A persisted index built under an older tokenizer loads but warns
-        (same guard as BM25Index): stored doc vectors bake in build-time
-        tokenization, so silently mismatched query embeddings lose recall."""
+        """A persisted index built under an older tokenizer RAISES by
+        default (a version mismatch is always a correctness problem:
+        stored doc vectors bake in build-time tokenization, so mismatched
+        query embeddings silently lose recall); the explicit
+        allow_tokenizer_mismatch flag downgrades it to a warning."""
+        import dataclasses
         import json
         import logging
 
@@ -122,13 +125,21 @@ class TestDenseIndex:
         assert meta["tokenizer"] == TOKENIZER_VERSION
         meta["tokenizer"] = "v1-bare-split"
         (tmp_path / "meta.json").write_text(json.dumps(meta))
-        with caplog.at_level(logging.WARNING):
-            idx2 = DenseIndex(
+        with pytest.raises(ValueError, match="tokenizer"):
+            DenseIndex(
                 embedder=Sha256Embedder(dim=64),
                 config=SMALL_CFG,
                 persist_directory=str(tmp_path),
             )
-        assert len(idx2) == 3  # still loads
+        with caplog.at_level(logging.WARNING):
+            idx2 = DenseIndex(
+                embedder=Sha256Embedder(dim=64),
+                config=dataclasses.replace(
+                    SMALL_CFG, allow_tokenizer_mismatch=True
+                ),
+                persist_directory=str(tmp_path),
+            )
+        assert len(idx2) == 3  # still loads under the explicit flag
         assert any("tokenizer" in r.message for r in caplog.records)
 
 

@@ -125,7 +125,11 @@ class TestFusedParity:
             # and the top-1 agrees with the host protocol.
             assert set(got) <= set(expect), (got, expect)
             assert got[0] == expect[0], (got, expect)
-        assert (np.diff(vals, axis=1) <= 1e-5).all()
+        # Scores are one consistent scale (max-normalized fused, <= 1) while
+        # ORDER is the router policy — so vals need not be descending here
+        # (advisor r4: the old mixed gated/fused values were incomparable
+        # and the descending assertion was data-dependent).
+        assert (vals <= 1.0 + 1e-6).all(), vals
 
         # Width >= merged-pool width degrades to the full-pool gate (old
         # behavior), still shape-correct.
