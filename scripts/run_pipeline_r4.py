@@ -39,6 +39,12 @@ summary = run_pipeline(
         "epochs": 50,
         "lm_steps": 4000,
         "enc_steps": 2000,
+        # r5: extractor retrained on v2+inverse+alias registers with the
+        # gold-position curriculum (cli/train_lm.py --curriculum
+        # --question-style v2 --inverse-q 1 --gold-first-prob 0.3); the r3
+        # checkpoint at models/tiny_lm/ saw v1 phrasing only, which is the
+        # measured cause of hw_novel/hw_inverse EM 0.0 (VERDICT r4 missing #1).
+        "lm_checkpoint": "models/tiny_lm_r5/tiny_lm.msgpack",
     },
     # pool7 gate (plus a reference3 control checkpoint trained on the
     # same arrays in router_reference3/) — see router/model.py.
