@@ -83,7 +83,6 @@ for name in ("bm25_only", "dense_only", "fixed_hybrid",
              "fixed_hybrid_balanced", "learned_router", "oracle_router"):
     m = arms.get(name)
     if m:
-        print(f"{name}: mrr={m['mrr']:.4f} recall@10={m.get('recall_at_10', m.get('recall@10', 0)):.4f}"
-              if isinstance(m.get('recall_at_10', m.get('recall@10')), float)
-              else f"{name}: mrr={m['mrr']:.4f}")
+        r10 = (m.get("recall@k") or {}).get("10")
+        print(f"{name}: mrr={m['mrr']:.4f} recall@10={r10}")
 print("headroom:", json.dumps(arms.get("headroom"), indent=2))
