@@ -83,6 +83,71 @@ def synthesize_pairs(
     return queries, sources
 
 
+# Function words dropped by the "clipped" register; the list matters only
+# insofar as it removes template scaffolding, so a small closed set is enough.
+_STOPWORDS = frozenset(
+    "a an the is are was were be been do does did what which who whom whose "
+    "when where why how of in on at by for with from to as that this those "
+    "these it its their there here can could would should will shall may "
+    "might must and or not no nor so if then than about into over under "
+    "out up down off again once".split()
+)
+
+
+def augment_registers(
+    queries: Sequence[str],
+    seed: int = 0,
+    variants_per_query: int = 2,
+) -> Tuple[List[str], List[int]]:
+    """Surface-register variants of training queries (VERDICT r4 next #4).
+
+    The contrastive pool is synth_wiki template questions, so the encoder
+    learns the templates' surface scaffolding along with the content words —
+    measured as handwritten dense_only MRR 0.351 vs 0.725 synthetic (the
+    reference avoids this by using a general pretrained encoder,
+    reference rag_uq/streaming_index.py:276-279). These variants keep the
+    content words and perturb exactly the scaffolding axis:
+
+    - "clipped": stopwords removed (the search-query register),
+    - "dropout": each word kept with p=0.85 (omission/typo robustness),
+    - "shuffled": adjacent-pair swaps (passive/word-order robustness),
+    - "keyword": the 3 longest words only (the tersest register).
+
+    Returns (variant_texts, source_indices); pair each variant with its
+    source query's positive passage and extend the fit() pool — the
+    group-by-passage batch logic already prevents a variant and its source
+    landing in one batch as mutual false negatives.
+    """
+    rng = np.random.default_rng(seed)
+    kinds = ("clipped", "dropout", "shuffled", "keyword")
+    out_q: List[str] = []
+    out_src: List[int] = []
+    for i, q in enumerate(queries):
+        words = q.split()
+        if len(words) < 3:
+            continue
+        picks = rng.choice(len(kinds), size=min(variants_per_query, len(kinds)),
+                           replace=False)
+        for k in picks:
+            kind = kinds[int(k)]
+            if kind == "clipped":
+                kept = [w for w in words
+                        if w.lower().strip("?.,!'\"") not in _STOPWORDS]
+            elif kind == "dropout":
+                kept = [w for w in words if rng.random() < 0.85]
+            elif kind == "shuffled":
+                kept = list(words)
+                for j in range(0, len(kept) - 1, 2):
+                    if rng.random() < 0.5:
+                        kept[j], kept[j + 1] = kept[j + 1], kept[j]
+            else:  # keyword
+                kept = sorted(words, key=len, reverse=True)[:3]
+            if len(kept) >= 2 and kept != words:
+                out_q.append(" ".join(kept))
+                out_src.append(i)
+    return out_q, out_src
+
+
 class ContrastiveTrainer:
     """Symmetric InfoNCE dual-encoder trainer (shared tower)."""
 

@@ -15,6 +15,7 @@ from rag_uq_tpu.embed.encoder import EncoderConfig, TransformerEmbedder
 from rag_uq_tpu.embed.train import (
     ContrastiveTrainer,
     EncoderTrainConfig,
+    augment_registers,
     load_encoder_checkpoint,
     synthesize_pairs,
 )
@@ -178,3 +179,37 @@ class TestSynthesizePairs:
         # Deterministic.
         q2, s2 = synthesize_pairs(texts, 50, seed=0)
         assert q2 == queries and s2 == sources
+
+
+class TestAugmentRegisters:
+    QUERIES = [
+        "What is the capital of the Republic of Vandoria?",
+        "Who wrote the celebrated novel Starfall Harvest?",
+        "In what year was the Grand Museum of Kethport founded?",
+        "hi",  # < 3 words: skipped
+    ]
+
+    def test_variants_preserve_content_words_and_sources(self):
+        variants, sources = augment_registers(self.QUERIES, seed=0,
+                                              variants_per_query=4)
+        assert variants and len(variants) == len(sources)
+        assert all(0 <= s < 3 for s in sources)  # "hi" never a source
+        for v, s in zip(variants, sources):
+            src_words = set(self.QUERIES[s].split())
+            # Every variant word comes from its source query (registers
+            # perturb scaffolding, never invent content).
+            assert set(v.split()) <= src_words
+            assert v != self.QUERIES[s]
+            assert len(v.split()) >= 2
+
+    def test_clipped_register_drops_stopwords(self):
+        variants, sources = augment_registers(self.QUERIES[:1], seed=0,
+                                              variants_per_query=4)
+        # With all 4 kinds requested, some variant removes "the"/"of".
+        assert any("the" not in v.split() and "of" not in v.split()
+                   for v in variants)
+
+    def test_deterministic(self):
+        a = augment_registers(self.QUERIES, seed=7, variants_per_query=2)
+        b = augment_registers(self.QUERIES, seed=7, variants_per_query=2)
+        assert a == b
