@@ -51,7 +51,8 @@ from flax import serialization
 from rag_uq_tpu.llm.tiny_lm import TinyLMConfig
 from rag_uq_tpu.llm.train import LMTrainConfig, TinyLMTrainer
 
-lm_ckpt = "models/tiny_lm/tiny_lm.msgpack"
+lm_ckpt = sys.argv[3] if len(sys.argv) > 3 else "models/tiny_lm_r5/tiny_lm.msgpack"
+print(f"extractor: {lm_ckpt}", flush=True)
 with open(lm_ckpt + ".json") as f:
     ckpt_meta = json.load(f)
 model_cfg = TinyLMConfig(**ckpt_meta["model_config"])
