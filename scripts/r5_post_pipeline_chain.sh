@@ -5,6 +5,10 @@
 # Usage: scripts/r5_post_pipeline_chain.sh [pipeline_pid]
 set -u
 cd /root/repo
+# scripts/*.py put scripts/ (not the repo root) on sys.path[0]; the package
+# import needs the repo root. Append — never overwrite — the preset
+# PYTHONPATH (axon plugin registration lives there).
+export PYTHONPATH=/root/repo:${PYTHONPATH:-}
 WORK=runs/demo_full_r4
 PID=${1:-$(cat /tmp/pipeline_r4.pid 2>/dev/null || echo 0)}
 
