@@ -35,7 +35,7 @@ from rag_uq_tpu.eval.evaluator import RAGEvaluator
 from rag_uq_tpu.eval.metrics import normalize_answer
 from rag_uq_tpu.llm.mock import MockLLM
 from rag_uq_tpu.retrieval.hybrid import HybridRetriever
-from rag_uq_tpu.router.model import RetrievalRouter
+from rag_uq_tpu.router.model import RetrievalRouter, fuse_hybrid
 from rag_uq_tpu.uq.conformal import ConformalRAG
 from rag_uq_tpu.uq.mc import MCDropoutConfidence
 
@@ -248,7 +248,10 @@ def _router_order(
     w = np.asarray(
         router.forward(bm25[:, :head], dense[:, :head], update_stats=False)
     )
-    hybrid = w * dense[:, :head] + (1 - w) * bm25[:, :head]
+    hybrid = np.asarray(fuse_hybrid(
+        router.config, w, bm25[:, :head].astype(np.float32),
+        dense[:, :head].astype(np.float32),
+    ))
     order = np.argsort(-hybrid, axis=1)
     if head < P:
         tail = np.broadcast_to(
@@ -363,8 +366,13 @@ def _predict_batch(
         if router is not None:
             weights, order = _router_order(router, bm25, dense)
             head = weights.shape[1]
-            # Ranking-score features come from the router-scored head.
-            hybrid = weights * dense[:, :head] + (1 - weights) * bm25[:, :head]
+            # Ranking-score features come from the router-scored head,
+            # through the SAME fuse policy the ranking used.
+            hybrid = np.asarray(fuse_hybrid(
+                router.config, weights,
+                bm25[:, :head].astype(np.float32),
+                dense[:, :head].astype(np.float32),
+            ))
             c_ids = [[row[j] for j in order[i]] for i, row in enumerate(c_ids)]
             c_texts = [[row[j] for j in order[i]] for i, row in enumerate(c_texts)]
             router_weights.extend(float(w) for w in weights.mean(axis=1))

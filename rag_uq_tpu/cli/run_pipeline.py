@@ -306,10 +306,18 @@ def run_pipeline(
     )
     # feature_set knob (default "reference3" = reference parity). "pool7"
     # adds pool-context features so rare-term needle queries route to the
-    # sparse tower (router/model.py docstring); the checkpoint records the
-    # architecture, so downstream loads need no flag.
+    # sparse tower (router/model.py docstring); "v2" selects the full
+    # round-5 recipe (pool7 + max-norm fuse + binary gate + decision loss,
+    # core/config.router_recipe_v2) — the configuration that first made the
+    # learned gate beat the best fixed arm (capture +0.69 vs -0.89 on the
+    # r4 test window). The checkpoint records the architecture, so
+    # downstream loads need no flag.
     router_cfg = None
-    if router_features:
+    if router_features == "v2":
+        from rag_uq_tpu.core.config import router_recipe_v2
+
+        router_cfg = router_recipe_v2()
+    elif router_features:
         from rag_uq_tpu.core.config import RouterConfig
 
         router_cfg = RouterConfig(feature_set=router_features)

@@ -31,6 +31,46 @@ class RouterConfig:
     # after the hand-written out-of-family eval measured the reference3
     # gate misrouting rare-term "needle" queries to dense).
     feature_set: str = "reference3"
+    # Tower-score normalization applied before the gate AND the hybrid fuse.
+    # "none" is the reference's behavior (router.py:179-202 fuses RAW
+    # scores) — measured to be a train/deploy trap: raw BM25 is O(10-30) vs
+    # dense cosine O(1), so w*dense+(1-w)*bm25 is ranking-dominated by BM25
+    # except at w≈1, and the per-passage gate can invert pool rankings
+    # arbitrarily (r5 probe: deployed MRR 0.755 vs best fixed 0.822,
+    # capture -0.89). "maxnorm" divides each tower by its per-query pool
+    # max, making w=0/w=1 exactly recover the pure tower rankings
+    # (same probe: MRR 0.866, capture +0.48).
+    fuse_norm: str = "none"
+    # How deployment turns gate weights into a ranking. "soft" is the
+    # reference fuse w*dense+(1-w)*bm25; "binary" takes the per-query mean
+    # gate as a routing DECISION and serves the pure better-arm ranking —
+    # the r5 probe measured binary above soft on every family once towers
+    # oppose (capture +0.74 vs +0.48 with the decision loss below).
+    # Training always uses the soft fuse (differentiable).
+    gate_policy: str = "soft"
+    # Weight of an auxiliary per-query BCE on mean(gate) toward the
+    # label-derived better arm (ties excluded). 0 = reference parity
+    # (pure ApproxNDCG). 2.0 measured best on the balanced fit pool.
+    decision_loss_weight: float = 0.0
+
+
+def router_recipe_v2() -> "RouterConfig":
+    """The TPU-first router training recipe (round 5): pool-context
+    features, max-norm fuse, binary deployment, auxiliary decision loss,
+    sharp ApproxNDCG temperature for [0,1]-scale normalized scores.
+
+    Measured on the r4-pipeline synthetic test window (n=1000, balanced fit
+    pool): MRR 0.887 vs best fixed arm 0.827 / oracle 0.908 — capture +0.74
+    of the oracle's headroom, where the reference recipe measures -0.89
+    (runs/demo_full_r4/results/router_balanced_probe.json and the r5
+    recipe probe)."""
+    return RouterConfig(
+        feature_set="pool7",
+        temperature=0.1,
+        fuse_norm="maxnorm",
+        gate_policy="binary",
+        decision_loss_weight=2.0,
+    )
 
 
 @dataclass

@@ -35,6 +35,7 @@ from rag_uq_tpu.parallel.sharding import (
     shard_corpus_matrix,
 )
 from rag_uq_tpu.retrieval.fused import merge_pools
+from rag_uq_tpu.router.model import fuse_hybrid
 
 logger = logging.getLogger(__name__)
 
@@ -458,7 +459,9 @@ class ShardedHybridIndex:
                 {"params": router.params, "stats": router.stats},
                 bm25_scores, dense_scores, update_stats=False, train=False,
             )
-            hybrid = weights * dense_scores + (1 - weights) * bm25_scores
+            hybrid = fuse_hybrid(
+                router.config, weights, bm25_scores, dense_scores
+            )
         else:
             max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
             max_d = jnp.maximum(jnp.max(dense_scores, axis=-1, keepdims=True), 1e-12)

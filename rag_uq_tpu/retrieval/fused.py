@@ -31,6 +31,7 @@ import numpy as np
 
 from rag_uq_tpu.ops import bm25 as bm25_ops
 from rag_uq_tpu.ops.topk import cosine_topk, cosine_topk_single
+from rag_uq_tpu.router.model import fuse_hybrid
 
 _INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -117,7 +118,9 @@ def fuse_pools_select(
             router_vars, bm25_scores, dense_scores,
             update_stats=False, train=False,
         )
-        hybrid = weights * dense_scores + (1.0 - weights) * bm25_scores
+        hybrid = fuse_hybrid(
+            router_module.config, weights, bm25_scores, dense_scores
+        )
     else:
         # Reference fixed fusion: mean of per-query max-normalized scores.
         max_b = jnp.maximum(jnp.max(bm25_scores, axis=-1, keepdims=True), 1e-12)
@@ -173,7 +176,9 @@ def _router_head_select(
     weights = router_module.apply(
         router_vars, hb, hd, update_stats=False, train=False,
     )
-    gated = jnp.where(h_live, weights * hd + (1.0 - weights) * hb, neg)
+    gated = jnp.where(
+        h_live, fuse_hybrid(router_module.config, weights, hb, hd), neg
+    )
     # Per-column rank keys: head members take 0..w-1 by gated score, every
     # other member w + its fused rank; dead columns sink unconditionally.
     # Stable argsorts keep tie semantics identical to the numpy eval path.

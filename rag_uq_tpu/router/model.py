@@ -37,6 +37,52 @@ from rag_uq_tpu.core.config import RouterConfig
 _EPS = 1e-6
 
 
+def normalize_towers(
+    config: RouterConfig, bm25: jax.Array, dense: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query tower normalization applied before the gate and the fuse.
+
+    fuse_norm="none" passes raw scores through (reference parity,
+    router.py:179-202). "maxnorm" divides each tower by its per-query pool
+    max, so both towers land on a comparable [<=1] scale and the hybrid fuse
+    w*dense+(1-w)*bm25 recovers the pure tower rankings at w=0/1 — the
+    property the raw-scale fuse lacks (BM25 O(10-30) vs cosine O(1) means a
+    raw fuse is BM25-dominated except at w≈1; measured as the round-5
+    router train/deploy failure, capture -0.89 -> +0.48 from this change
+    alone). Works under jit; rows of all-nonpositive scores keep their
+    within-tower order (divide-by-eps) but are out-of-distribution."""
+    if config.fuse_norm == "none":
+        return bm25, dense
+    if config.fuse_norm != "maxnorm":
+        raise ValueError(f"Unknown fuse_norm: {config.fuse_norm!r}")
+    b = bm25 / jnp.maximum(jnp.max(bm25, axis=-1, keepdims=True), 1e-12)
+    d = dense / jnp.maximum(jnp.max(dense, axis=-1, keepdims=True), 1e-12)
+    return b, d
+
+
+def fuse_hybrid(
+    config: RouterConfig,
+    weights: jax.Array,
+    bm25: jax.Array,
+    dense: jax.Array,
+) -> jax.Array:
+    """Deployment fuse: gate weights + tower scores -> rankable scores.
+
+    gate_policy="soft" is the reference fuse (router.py:199). "binary"
+    reads mean(weights) per query as a routing decision and returns the
+    pure winning tower's (normalized) scores — serving the arm the gate
+    picked instead of a blend. Training always uses the soft fuse; binary
+    only changes how a TRAINED gate is deployed (it is not differentiable).
+    """
+    b, d = normalize_towers(config, bm25, dense)
+    if config.gate_policy == "binary":
+        wq = jnp.mean(weights, axis=-1, keepdims=True)
+        return jnp.where(wq > 0.5, d, b)
+    if config.gate_policy != "soft":
+        raise ValueError(f"Unknown gate_policy: {config.gate_policy!r}")
+    return weights * d + (1.0 - weights) * b
+
+
 def _sample_std(x: jax.Array) -> jax.Array:
     """Sample standard deviation (ddof=1), matching torch.Tensor.std()."""
     n = x.size
@@ -65,6 +111,10 @@ class RouterModule(nn.Module):
 
         b = bm25_scores.astype(jnp.float32)
         d = dense_scores.astype(jnp.float32)
+        # Under fuse_norm="maxnorm" the gate's features (and its EMA score
+        # statistics) see the same normalized scale the fuse ranks with, so
+        # train and deploy stay in one distribution.
+        b, d = normalize_towers(cfg, b, d)
 
         batch_b_mean, batch_b_std = jnp.mean(b), _sample_std(b) + _EPS
         batch_d_mean, batch_d_std = jnp.mean(d), _sample_std(d) + _EPS
@@ -239,11 +289,14 @@ class RetrievalRouter:
     def hybrid_rerank(
         self, bm25_scores, dense_scores, top_k: int = 10
     ) -> Tuple[jax.Array, jax.Array]:
-        """w*dense + (1-w)*bm25, then top-k (parity router.py:179-202)."""
+        """w*dense + (1-w)*bm25, then top-k (parity router.py:179-202).
+
+        Under fuse_norm/gate_policy (config) the fuse is the normalized /
+        binary-decision variant — see fuse_hybrid."""
         bm25_scores = jnp.asarray(bm25_scores, dtype=jnp.float32)
         dense_scores = jnp.asarray(dense_scores, dtype=jnp.float32)
         weights = self.forward(bm25_scores, dense_scores, update_stats=False)
-        hybrid = weights * dense_scores + (1 - weights) * bm25_scores
+        hybrid = fuse_hybrid(self.config, weights, bm25_scores, dense_scores)
         k = min(top_k, hybrid.shape[-1])
         return jax.lax.top_k(hybrid, k)
 

@@ -26,7 +26,7 @@ from flax import serialization
 
 from rag_uq_tpu.core.config import TrainConfig
 from rag_uq_tpu.router.loss import approx_ndcg_loss
-from rag_uq_tpu.router.model import RetrievalRouter
+from rag_uq_tpu.router.model import RetrievalRouter, normalize_towers
 
 logger = logging.getLogger(__name__)
 
@@ -64,6 +64,42 @@ class RouterTrainer:
 
         module = self.router.module
         temperature = self.router.config.temperature
+        router_cfg = self.router.config
+        decision_w = float(router_cfg.decision_loss_weight)
+
+        def _label_rr(scores, rel):
+            """Per-query reciprocal rank of the first relevant (>=0.5) item
+            under a tower's scores — vectorized, jit-safe. rank(i) =
+            1 + #{j: s_j > s_i}."""
+            ranks = 1.0 + jnp.sum(
+                scores[..., None, :] > scores[..., :, None], axis=-1
+            )
+            hit = rel >= 0.5
+            return jnp.max(jnp.where(hit, 1.0 / ranks, 0.0), axis=-1)
+
+        def _total_loss(weights, bm25, dense, rel):
+            """Shared train/eval objective: ApproxNDCG on the (normalized)
+            soft fuse, plus the optional per-query decision BCE. Training
+            always fuses SOFT (differentiable) even when the deployment
+            gate_policy is binary."""
+            b, d = normalize_towers(router_cfg, bm25, dense)
+            hybrid = weights * d + (1 - weights) * b
+            loss = approx_ndcg_loss(hybrid, rel, None, temperature)
+            if decision_w > 0.0:
+                # Better-arm target from the SAME labels the rank loss uses;
+                # queries where both arms tie on label-RR carry no gradient.
+                rr_b = _label_rr(b, rel)
+                rr_d = _label_rr(d, rel)
+                target = (rr_d > rr_b).astype(jnp.float32)
+                decisive = (jnp.abs(rr_d - rr_b) > 1e-9).astype(jnp.float32)
+                wq = jnp.clip(jnp.mean(weights, axis=-1), 1e-6, 1.0 - 1e-6)
+                bce = -(
+                    target * jnp.log(wq) + (1.0 - target) * jnp.log(1.0 - wq)
+                )
+                loss = loss + decision_w * jnp.sum(bce * decisive) / jnp.maximum(
+                    jnp.sum(decisive), 1.0
+                )
+            return loss
 
         def loss_fn(params, mutables, bm25, dense, rel, dropout_rng):
             # mutables = {"stats": ..., plus batch_stats when use_batch_norm}.
@@ -76,9 +112,7 @@ class RouterTrainer:
                 rngs={"dropout": dropout_rng},
                 mutable=list(mutables.keys()),
             )
-            hybrid = weights * dense + (1 - weights) * bm25
-            loss = approx_ndcg_loss(hybrid, rel, None, temperature)
-            return loss, dict(updated)
+            return _total_loss(weights, bm25, dense, rel), dict(updated)
 
         @jax.jit
         def train_step(params, mutables, opt_state, bm25, dense, rel, rng):
@@ -98,8 +132,7 @@ class RouterTrainer:
                 update_stats=False,
                 train=False,
             )
-            hybrid = weights * dense + (1 - weights) * bm25
-            return approx_ndcg_loss(hybrid, rel, None, temperature)
+            return _total_loss(weights, bm25, dense, rel)
 
         self._train_step = train_step
         self._eval_step = eval_step

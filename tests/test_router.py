@@ -347,3 +347,123 @@ class TestBatchNorm:
         router.eval()
         w = np.asarray(router(bm25, dense))
         assert np.isfinite(w).all()
+
+
+class TestRecipeV2:
+    """Round-5 router recipe: max-norm fuse, binary gate policy, auxiliary
+    decision loss. Motivation: the reference fuses RAW tower scores
+    (router.py:179-202) where BM25 is O(10-30) vs dense cosine O(1) — the
+    measured train/deploy failure behind runs/demo_full_r4/results/
+    router_balanced_probe.json (deployed capture -0.89)."""
+
+    def _opposed_towers(self, n=160, p=12, seed=0):
+        """Two query types with opposed best arms on REALISTIC raw scales:
+        type A (bm25-decisive): gold has a big BM25 score, dense is noise;
+        type B (dense-decisive): gold tops cosine, bm25 is flat noise."""
+        rng = np.random.default_rng(seed)
+        bm25 = rng.uniform(0.5, 4.0, size=(n, p)).astype(np.float32)
+        dense = rng.uniform(0.05, 0.45, size=(n, p)).astype(np.float32)
+        rel = np.zeros((n, p), dtype=np.float32)
+        is_b = np.arange(n) % 2 == 1
+        gold = rng.integers(0, p, size=n)
+        for i in range(n):
+            rel[i, gold[i]] = 1.0
+            if is_b[i]:
+                dense[i, gold[i]] = rng.uniform(0.7, 0.9)
+            else:
+                bm25[i, gold[i]] = rng.uniform(18.0, 30.0)
+        return bm25, dense, rel, is_b, gold
+
+    def test_maxnorm_fuse_recovers_pure_arm_rankings(self):
+        """With fuse_norm=maxnorm, w=0 must reproduce the BM25 pool ranking
+        and w=1 the dense one — the property the raw-scale fuse lacks."""
+        from rag_uq_tpu.router.model import fuse_hybrid
+
+        bm25, dense, _rel, _isb, _g = self._opposed_towers(8, 10)
+        cfg = RouterConfig(fuse_norm="maxnorm")
+        w0 = jnp.zeros_like(jnp.asarray(bm25))
+        w1 = jnp.ones_like(jnp.asarray(bm25))
+        h0 = np.asarray(fuse_hybrid(cfg, w0, bm25, dense))
+        h1 = np.asarray(fuse_hybrid(cfg, w1, bm25, dense))
+        assert (np.argsort(-h0, axis=1) == np.argsort(-bm25, axis=1)).all()
+        assert (np.argsort(-h1, axis=1) == np.argsort(-dense, axis=1)).all()
+
+    def test_binary_policy_serves_pure_winning_arm(self):
+        """gate_policy=binary must rank by the pure winning tower (per-query
+        mean gate > 0.5 -> dense, else bm25)."""
+        from rag_uq_tpu.router.model import fuse_hybrid
+
+        bm25, dense, _rel, _isb, _g = self._opposed_towers(6, 10)
+        cfg = RouterConfig(fuse_norm="maxnorm", gate_policy="binary")
+        w = np.full((6, 10), 0.2, dtype=np.float32)
+        w[0::2] = 0.9
+        h = np.asarray(fuse_hybrid(cfg, jnp.asarray(w), bm25, dense))
+        ord_h = np.argsort(-h, axis=1)
+        ord_b = np.argsort(-bm25, axis=1)
+        ord_d = np.argsort(-dense, axis=1)
+        for i in range(6):
+            expect = ord_d[i] if w[i].mean() > 0.5 else ord_b[i]
+            assert (ord_h[i] == expect).all()
+
+    def test_recipe_v2_beats_raw_fuse_on_opposed_towers(self, tmp_path):
+        """End-to-end: on opposed-arm data at realistic raw scales, the v2
+        recipe (trained via RouterTrainer, deployed via hybrid_rerank) must
+        place gold top-1 on >=80% of held-out queries of BOTH types; the
+        reference raw fuse is structurally unable to serve the bm25-decisive
+        type at w near 1 (regression anchor, not asserted)."""
+        from rag_uq_tpu.core.config import router_recipe_v2
+
+        bm25, dense, rel, is_b, gold = self._opposed_towers(240, 12, seed=3)
+        tr_n = 200
+        router = RetrievalRouter(router_recipe_v2())
+        trainer = RouterTrainer(
+            router, checkpoint_dir=str(tmp_path),
+            config=TrainConfig(num_epochs=30, batch_size=32,
+                               checkpoint_dir=str(tmp_path)),
+        )
+        trainer.fit(
+            (bm25[:tr_n], dense[:tr_n], rel[:tr_n]),
+            (bm25[tr_n:], dense[tr_n:], rel[tr_n:]),
+        )
+        router.eval()
+        _vals, idx = router.hybrid_rerank(
+            bm25[tr_n:], dense[tr_n:], top_k=1)
+        top1 = np.asarray(idx)[:, 0]
+        hit = top1 == gold[tr_n:]
+        hit_a = hit[~is_b[tr_n:]].mean()
+        hit_b = hit[is_b[tr_n:]].mean()
+        assert hit_a >= 0.8, f"bm25-decisive type hit@1 {hit_a}"
+        assert hit_b >= 0.8, f"dense-decisive type hit@1 {hit_b}"
+
+    def test_recipe_fields_roundtrip_in_checkpoint(self, tmp_path):
+        from rag_uq_tpu.core.config import router_recipe_v2
+
+        bm25, dense, rel, _isb, _g = self._opposed_towers(32, 10)
+        router = RetrievalRouter(router_recipe_v2())
+        trainer = RouterTrainer(
+            router, checkpoint_dir=str(tmp_path),
+            config=TrainConfig(num_epochs=1, checkpoint_dir=str(tmp_path)),
+        )
+        trainer.train_epoch((bm25, dense, rel))
+        path = str(tmp_path / "r.msgpack")
+        trainer.save_checkpoint(path)
+        fresh = RetrievalRouter()  # parity default config
+        RouterTrainer(fresh).load_checkpoint(path)
+        assert fresh.config.fuse_norm == "maxnorm"
+        assert fresh.config.gate_policy == "binary"
+        assert fresh.config.decision_loss_weight == 2.0
+        assert fresh.config.temperature == 0.1
+        w_a = np.asarray(router.eval().forward(bm25, dense, update_stats=False))
+        w_b = np.asarray(fresh.eval().forward(bm25, dense, update_stats=False))
+        np.testing.assert_allclose(w_a, w_b, rtol=1e-6)
+
+    def test_parity_default_unchanged(self):
+        """The parity default (fuse_norm=none, soft, no decision loss) must
+        fuse raw scores exactly as before this round."""
+        from rag_uq_tpu.router.model import fuse_hybrid
+
+        bm25, dense, _rel, _isb, _g = self._opposed_towers(4, 8)
+        cfg = RouterConfig()
+        w = np.random.default_rng(0).uniform(size=(4, 8)).astype(np.float32)
+        h = np.asarray(fuse_hybrid(cfg, jnp.asarray(w), bm25, dense))
+        np.testing.assert_allclose(h, w * dense + (1 - w) * bm25, rtol=1e-6)
