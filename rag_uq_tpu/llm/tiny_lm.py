@@ -265,21 +265,41 @@ class TinyLM:
         family that sees *inside* the generation)."""
         batch_tok, lens, plen = self._encode_prompts(prompts)
         batch = len(prompts)
-        cache = self._init_cache(batch)
-        sampler = self._get_sampler(batch, max_tokens, plen)
+        temps = np.asarray(temperatures, dtype=np.float32)
+        tops = np.asarray(top_ps, dtype=np.float32)
+        # Bucket the BATCH dimension to the next power of two, like the
+        # prompt width above: a caller chunking N queries by a fixed chunk
+        # size leaves one odd-width tail chunk (e.g. 1000 % 64 = 40), and an
+        # exact-batch program made that tail recompile — the measured cause
+        # of the r4 pipeline's p99 1533 ms vs p95 377 ms (10 slowest of
+        # n=1000 all inside the 40-wide tail). Pad rows are BOS-only prompts
+        # whose outputs are sliced off; ≤2× wasted rows on the tail chunk
+        # only, in exchange for one executable per (bucket, plen).
+        padded = 1 << max(batch - 1, 0).bit_length()
+        if padded != batch:
+            pad = padded - batch
+            batch_tok = np.concatenate(
+                [batch_tok, np.zeros((pad, plen), dtype=np.int32)], axis=0
+            )
+            batch_tok[batch:, 0] = BOS
+            lens = np.concatenate([lens, np.ones((pad,), dtype=np.int32)])
+            temps = np.concatenate([temps, np.ones((pad,), dtype=np.float32)])
+            tops = np.concatenate([tops, np.ones((pad,), dtype=np.float32)])
+        cache = self._init_cache(padded)
+        sampler = self._get_sampler(padded, max_tokens, plen)
         out, lp_sum, lp_min, n_gen = sampler(
             self.params,
             cache,
             jnp.asarray(batch_tok),
             jnp.asarray(lens),
-            jnp.asarray(np.asarray(temperatures, dtype=np.float32)),
-            jnp.asarray(np.asarray(top_ps, dtype=np.float32)),
+            jnp.asarray(temps),
+            jnp.asarray(tops),
             jax.random.PRNGKey(seed if seed is not None else 0),
         )
-        out = np.asarray(out)
-        lp_sum = np.asarray(lp_sum)
-        lp_min = np.asarray(lp_min)
-        n_gen = np.asarray(n_gen)
+        out = np.asarray(out)[:batch]
+        lp_sum = np.asarray(lp_sum)[:batch]
+        lp_min = np.asarray(lp_min)[:batch]
+        n_gen = np.asarray(n_gen)[:batch]
         texts = [self._decode(out[i]) for i in range(batch)]
         has = n_gen > 0
         mean_lp = np.where(has, lp_sum / np.maximum(n_gen, 1), 0.0)

@@ -137,6 +137,35 @@ class TestTinyLM:
             assert np.isfinite(m) and np.isfinite(mn)
             assert mn <= m <= 0.0 or (m == 0.0 and mn == 0.0)
 
+    def test_batch_bucketed_to_pow2(self, lm):
+        """Odd batch widths pad to the next power of two and share ONE
+        sampler executable with the pow2 batch — the r4 pipeline's p99 was
+        the odd tail chunk (1000 % 64 = 40 rows) recompiling. Outputs must
+        still slice back to the caller's batch, deterministically."""
+        prompts = ["alpha", "beta", "gamma"]
+        temps, tops = [0.5, 0.8, 1.0], [0.9, 0.9, 0.9]
+        n_before = len(lm._samplers)
+        texts, mean_lp, min_lp = lm.generate_batch_scored(
+            prompts, temps, tops, max_tokens=6, seed=1
+        )
+        assert len(texts) == 3 and mean_lp.shape == (3,)
+        # batch=3 pads to 4: the cached program is keyed on the bucket.
+        keys = list(lm._samplers.keys())[n_before:]
+        assert keys and keys[0][0] == 4
+        # A true batch of 4 with the same plen bucket reuses that program.
+        n_mid = len(lm._samplers)
+        four = lm.generate_batch(
+            ["alpha", "beta", "gamma", "delta"],
+            [0.5, 0.8, 1.0, 1.0], [0.9] * 4, max_tokens=6, seed=1,
+        )
+        assert len(four) == 4 and len(lm._samplers) == n_mid
+        # Same odd batch, same seed -> identical results (padding rows do
+        # not perturb determinism for the real rows).
+        again, _, _ = lm.generate_batch_scored(
+            prompts, temps, tops, max_tokens=6, seed=1
+        )
+        assert again == texts
+
     def test_prompt_encoding(self, lm):
         batch, lens, plen = lm._encode_prompts(["ab", "a"])
         assert batch[0, 0] == BOS and batch[1, 0] == BOS
