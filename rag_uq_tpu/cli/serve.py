@@ -375,8 +375,17 @@ def serve_http(
                 question = payload.get("question", "")
                 k = int(payload.get("k", 10))
                 policy = payload.get("context_policy", context_policy)
+                # Serving default: TOP-1 context. The n=200 committed probe
+                # (runs/demo_full_r4/results/per_passage_probe.json) measured
+                # retrieval-rank top-1 EM 0.71 vs top-3 concat 0.62 vs
+                # per_passage 0.39 — concatenated distractors, not recall,
+                # carry the loss (extraction_decomposition.json). The EVAL
+                # protocol keeps the reference's top-3 concat
+                # (run_evaluation.py:189) for comparability; this knob is the
+                # serving-quality default, overridable per request.
+                n_ctx = int(payload.get("context_passages", 1))
                 hits = service.search([question], k)[0]
-                context = " ".join(h["text"] for h in hits[:3])[:2000]
+                context = " ".join(h["text"] for h in hits[:n_ctx])[:2000]
                 if llm is not None and policy == "per_passage":
                     from rag_uq_tpu.cli.evaluate import (
                         generate_answer_per_passage,
@@ -384,7 +393,7 @@ def serve_http(
 
                     answer, context = generate_answer_per_passage(
                         llm, question,
-                        [h["text"][:2000] for h in hits[:3]],
+                        [h["text"][:2000] for h in hits[:max(n_ctx, 3)]],
                     )
                 elif llm is not None:
                     from rag_uq_tpu.cli.evaluate import generate_answer

@@ -458,6 +458,53 @@ class TestServe:
             server.shutdown()
             service.close()
 
+    def test_answer_default_context_is_top1(self, corpus_path, tmp_path):
+        """Serving /answer defaults to retrieval-rank TOP-1 context (the
+        best measured policy: EM 0.71 vs 0.62 top-3 concat vs 0.39
+        per_passage, runs/demo_full_r4/results/per_passage_probe.json);
+        context_passages in the payload widens it."""
+        retriever = build_index_from_jsonl(
+            corpus_path, checkpoint_path=str(tmp_path / "c.json"),
+            bm25_persist_path=None, dense_persist_directory=None, config=SMALL,
+        )
+        service = QueryService(retriever)
+
+        class _Spy:
+            def __init__(self):
+                self.prompts = []
+
+            def generate(self, prompt, **kw):
+                self.prompts.append(prompt)
+                return "ok"
+
+        spy = _Spy()
+        server = serve_http(service, llm=spy, port=0)
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            def ask(payload):
+                req = urllib.request.Request(
+                    f"http://127.0.0.1:{port}/answer",
+                    data=json.dumps(payload).encode(), method="POST",
+                )
+                with urllib.request.urlopen(req) as r:
+                    json.loads(r.read())
+                return spy.prompts[-1]
+
+            # Default: exactly the top hit's text in the prompt.
+            hits = service.search(["topic3 number 8"], 3)[0]
+            p1 = ask({"question": "topic3 number 8"})
+            assert hits[0]["text"] in p1
+            assert hits[1]["text"] not in p1
+            # Override widens the context.
+            p3 = ask({"question": "topic3 number 8",
+                      "context_passages": 3})
+            assert hits[0]["text"] in p3 and hits[1]["text"] in p3
+        finally:
+            server.shutdown()
+            service.close()
+
     def test_answer_per_passage_selection(self, corpus_path, tmp_path):
         """generate_answer_per_passage picks the highest-logprob non-blank
         candidate and returns its passage as the context."""
