@@ -30,6 +30,9 @@ ap.add_argument("--context-policy", default="concat",
 ap.add_argument("--out-subdir", default=None,
                 help="results subdir under workdir (default: results_<policy>)")
 ap.add_argument("--lm-checkpoint", default="models/tiny_lm/tiny_lm.msgpack")
+ap.add_argument("--router-checkpoint", default=None,
+                help="router checkpoint (default: <workdir>/router/"
+                     "final_router.msgpack); e.g. the r5 recipe-v2 retrain")
 ap.add_argument("--n-test", type=int, default=None,
                 help="override the run's test-split size (head of the split)")
 ap.add_argument("--mc-samples", type=int, default=8)
@@ -104,7 +107,8 @@ from rag_uq_tpu.uq.conformal import ConformalRAG
 from rag_uq_tpu.uq.mc import MCDropoutConfidence
 
 router = RetrievalRouter()
-RouterTrainer(router).load_checkpoint(str(WORK / "router/final_router.msgpack"))
+RouterTrainer(router).load_checkpoint(
+    args.router_checkpoint or str(WORK / "router/final_router.msgpack"))
 eval_mc = MCDropoutConfidence(llm, n_samples=args.mc_samples, seed=0)
 conformal = ConformalRAG(llm, calibration_db_path=str(WORK / "calibration.db"),
                          nonconformity_mode="mc_variance", mc=eval_mc)
