@@ -43,7 +43,11 @@ retriever = build_index_from_jsonl(
     bm25_persist_path=None,
     dense_persist_directory=None,
     config=Config(embedder=EmbedderConfig(
-        kind="encoder", checkpoint_path=str(WORK / "encoder/encoder.msgpack"))),
+        kind="encoder",
+        # HW_ENC overrides the encoder checkpoint (e.g. the register-
+        # augmented retrain, runs/demo_full_r4/encoder_augmented/).
+        checkpoint_path=os.environ.get(
+            "HW_ENC", str(WORK / "encoder/encoder.msgpack")))),
     resume=False,
 )
 n_corpus = sum(1 for line in open(WORK / "corpus.jsonl") if line.strip())
@@ -93,6 +97,11 @@ results = run_evaluation(
     # logprob selection (cli/evaluate.py context_policy) instead of the
     # reference's concat protocol.
     context_policy=os.environ.get("HW_POLICY", "concat"),
+    # HW_CTX=1: the serving default (/answer top-1 evidence-backed context,
+    # cli/serve.py) instead of the reference's top-3 concat protocol
+    # (/root/reference/experiments/run_evaluation.py:189). Lets the eval
+    # measure what a deployed user actually gets.
+    context_passages=int(os.environ.get("HW_CTX", "3")),
 )
 print(f"evaluation in {time.time()-t0:.1f}s", flush=True)
 out = {

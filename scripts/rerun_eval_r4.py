@@ -36,6 +36,11 @@ ap.add_argument("--router-checkpoint", default=None,
 ap.add_argument("--n-test", type=int, default=None,
                 help="override the run's test-split size (head of the split)")
 ap.add_argument("--mc-samples", type=int, default=8)
+ap.add_argument("--context-passages", type=int, default=3,
+                help="contexts per query: 3 = reference concat protocol "
+                     "(/root/reference/experiments/run_evaluation.py:189), "
+                     "1 = the serving default (/answer top-1 evidence-backed "
+                     "context, cli/serve.py)")
 args = ap.parse_args()
 
 WORK = Path(args.workdir)
@@ -119,6 +124,7 @@ eval_results = run_evaluation(
     mc_samples=args.mc_samples, calibration_samples=cal_samples,
     output_dir=str(out_dir),
     context_policy=args.context_policy,
+    context_passages=args.context_passages,
 )
 print(f"evaluation ({args.context_policy}) in {time.time()-t0:.1f}s",
       flush=True)
