@@ -33,6 +33,81 @@ from rag_uq_tpu.llm.mock import MockLLM
 logger = logging.getLogger(__name__)
 
 
+def _qa_slice(row: dict) -> str:
+    return (row.get("metadata") or {}).get("slice", "unk")
+
+
+def build_router_pool(
+    fit_samples: list,
+    all_rows: list,
+    nq_cap: int,
+    balance_target: int = 0,
+    seed: int = 0,
+) -> list:
+    """Router training pool: the fit tail, optionally family-balanced.
+
+    With ``balance_target > 0``, the rare routing families (inverse,
+    lookup — the ones whose per-query best tower OPPOSES the majority
+    families') are topped up to that many queries from rows beyond the
+    ``nq_cap`` experiment window, so the gate sees enough of them to learn
+    the policy (round-5 recipe; scripts/router_recipe_v2_probe_r5.py).
+    Rows [0, nq_cap) hold the cal/test windows, so extras drawn past the
+    cap can never leak into evaluation.
+    """
+    pool = list(fit_samples)
+    if balance_target > 0:
+        from collections import Counter
+
+        fams = Counter(_qa_slice(r) for r in pool)
+        extra_pool = all_rows[nq_cap:]
+        for family in ("inverse", "lookup"):
+            need = max(0, balance_target - fams[family])
+            pool.extend(
+                [r for r in extra_pool if _qa_slice(r) == family][:need])
+        import numpy as np
+
+        np.random.default_rng(seed).shuffle(pool)
+    return pool
+
+
+def encoder_pool(
+    all_rows: list, held_samples: list, router_samples: list
+) -> list:
+    """Contrastive-training pool for the encoder: every QA row except
+
+    (a) the held-out cal/test questions,
+    (b) lookup rows sharing a (habitat, diet, lifespan) conjunction entity
+        with a held-out or router-pool lookup question — a paraphrase of
+        the same conjunction would let the encoder memorize that exact
+        mapping (a no-op at lookup_questions=1, correct above it), and
+    (c) **the router training pool itself**. The encoder memorizes its
+        training questions verbatim (measured: dense gold RR ~1.0 on
+        encoder-seen rows vs 0.10-0.20 held out, regardless of entity
+        exposure — runs/demo_full_r4/results/router_gate_diag2.json), so
+        a router fit on encoder-seen queries learns its gate from
+        memorization-inflated dense features and misroutes at test time
+        (lookup MRR 0.339 routed vs 0.794 bm25). Holding the router pool
+        out of the encoder keeps the fit-time feature distribution equal
+        to the test-time one.
+    """
+    held_ids = {s["id"] for s in held_samples if "id" in s}
+    router_ids = {s["id"] for s in router_samples if "id" in s}
+    guard_entities = {
+        (s.get("metadata") or {}).get("entity")
+        for s in list(held_samples) + list(router_samples)
+        if _qa_slice(s) == "lookup"
+    }
+    return [
+        s for s in all_rows
+        if s.get("id") not in held_ids
+        and s.get("id") not in router_ids
+        and not (
+            _qa_slice(s) == "lookup"
+            and (s.get("metadata") or {}).get("entity") in guard_entities
+        )
+    ]
+
+
 def run_pipeline(
     workdir: str = "runs/pipeline",
     quick: bool = False,
@@ -50,6 +125,7 @@ def run_pipeline(
     question_style: Optional[str] = None,  # "v1" | "v2"
     router_features: Optional[str] = None,  # e.g. "pool7"
     context_policy: Optional[str] = None,  # "concat" | "per_passage"
+    router_balance_target: int = 0,  # top up inverse/lookup to this many
 ) -> dict:
     scales = scales or (
         {"articles": 1500, "nq": 1500, "cal": 100, "test": 50, "epochs": 10,
@@ -106,50 +182,46 @@ def run_pipeline(
     # slice (the reference trains its router on all samples including test —
     # a leak we don't copy).
     fit_samples = samples[scales["cal"] + scales["test"] :]
+    all_rows = load_qa_jsonl(nq_path)
+    # The router pool is fixed BEFORE encoder training so it can be held
+    # out of the encoder's contrastive pool (see encoder_pool).
+    router_pool = build_router_pool(
+        fit_samples, all_rows, nq_cap=scales["nq"],
+        balance_target=router_balance_target
+        or int(scales.get("router_balance_target", 0)),
+        seed=seed,
+    )
 
     # Step 2.5: encoder contrastive training (the framework's own
     # nomic-embed-text; VERDICT r1 missing #1).
     #
-    # Training pool: the FULL QA file minus the cal/test questions, not just
-    # the `fit_samples` tail of the loaded subset. The reference's embedder
+    # Training pool: the FULL QA file minus the cal/test questions AND minus
+    # the router fit pool (encoder_pool above). The reference's embedder
     # (nomic-embed-text) is pretrained on far more text than the experiment's
     # own sample budget; our analog is every world QA pair that is not a
-    # held-out evaluation question. This matters for the paraphrase-stress
-    # semantic split: an entity alias occurs in NO article, so the encoder can
-    # only bridge alias->entity if some *other* question using that alias is
-    # in its training pool (with alias_questions>=2 each entity has spares).
-    # Measured (VERDICT r2 weak #3 diagnosis): with the 2,300-row tail only
-    # 17/93 semantic test entities had alias coverage and dense semantic
-    # recall@10 was 0.086; the full pool covers 91/93.
+    # held-out evaluation question or a router-fit question. The width
+    # matters for the paraphrase-stress semantic split: an entity alias
+    # occurs in NO article, so the encoder can only bridge alias->entity if
+    # some *other* question using that alias is in its training pool (with
+    # alias_questions>=2 each entity has spares). Measured (VERDICT r2 weak
+    # #3 diagnosis): with the 2,300-row tail only 17/93 semantic test
+    # entities had alias coverage and dense semantic recall@10 was 0.086;
+    # the full pool covers 91/93. The router-pool holdout removes ~8% of
+    # rows and is what keeps the gate's features honest (round-5 fix).
     embedder_cfg = EmbedderConfig()
     encoder_info = {"trained": False}
     if train_encoder and fit_samples:
         from rag_uq_tpu.embed.encoder import EncoderConfig
         from rag_uq_tpu.embed.train import ContrastiveTrainer, EncoderTrainConfig
 
-        held_ids = {s["id"] for s in cal_samples + test_samples if "id" in s}
-        # Lookup-slice leak guard: a held-out lookup question's (habitat,
-        # diet, lifespan) conjunction is shared verbatim by its train-pool
-        # paraphrases. Training the encoder on ANY lookup paraphrase of a
-        # held-out lookup entity would let it memorize that exact
-        # conjunction->article mapping, quietly deleting the slice's
-        # single-vector-vs-term-weighting contrast. Alias (semantic) rows
-        # are NOT excluded: learning an alias from other questions is the
-        # capability that slice measures, memorizing a conjunction is not.
-        held_lookup_entities = {
-            (s.get("metadata") or {}).get("entity")
-            for s in cal_samples + test_samples
-            if (s.get("metadata") or {}).get("slice") == "lookup"
-        }
-        enc_pool = [
-            s for s in load_qa_jsonl(nq_path)
-            if s.get("id") not in held_ids
-            and not (
-                (s.get("metadata") or {}).get("slice") == "lookup"
-                and (s.get("metadata") or {}).get("entity")
-                in held_lookup_entities
-            )
-        ]
+        # Pool rules (incl. the router-pool holdout and the lookup
+        # conjunction guard) live in encoder_pool's docstring. Alias
+        # (semantic) rows of held-out entities are NOT excluded: learning
+        # an alias from other questions is the capability that slice
+        # measures, memorizing a conjunction (or a router-fit question)
+        # is not.
+        enc_pool = encoder_pool(
+            all_rows, cal_samples + test_samples, router_pool)
         # Register augmentation (embed/train.py::augment_registers): N
         # surface-register variants per question, paired with the source
         # question's positive passage, so the encoder learns content words
@@ -189,6 +261,7 @@ def run_pipeline(
             "steps": len(losses),
             "final_loss": losses[-1],
             "train_pool": len(enc_pool),
+            "router_pool_held_out": len(router_pool),
             "augmented_pairs": n_aug,
             "checkpoint": enc_ckpt,
         }
@@ -297,7 +370,7 @@ def run_pipeline(
     from rag_uq_tpu.cli.train_router import prepare_training_data, train_router
 
     t0 = time.time()
-    router_pool = fit_samples or samples
+    router_pool = router_pool or samples
     split = int(0.9 * len(router_pool))
     train = prepare_training_data(retriever, router_pool[:split])
     val = prepare_training_data(retriever, router_pool[split:])
@@ -454,9 +527,15 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
                         help="question template table for the generated "
                         "world (v2 widens phrasing registers)")
     parser.add_argument("--router-features", default=None,
-                        choices=("reference3", "pool7"),
+                        choices=("reference3", "pool7", "v2"),
                         help="router gate feature set; pool7 adds "
-                        "pool-context features + a reference3 control run")
+                        "pool-context features + a reference3 control run; "
+                        "v2 selects the full round-5 recipe "
+                        "(core/config.router_recipe_v2)")
+    parser.add_argument("--router-balance-target", type=int, default=0,
+                        help="top up the inverse/lookup router-training "
+                        "families to this many queries from rows beyond "
+                        "the nq cap (0 = fit tail only)")
     parser.add_argument("--context-policy", default=None,
                         choices=("concat", "per_passage"),
                         help="evaluation context policy (cli/evaluate.py)")
@@ -477,6 +556,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         question_style=args.question_style,
         router_features=args.router_features,
         context_policy=args.context_policy,
+        router_balance_target=args.router_balance_target,
     )
     print(json.dumps(summary, indent=2, default=str))
 

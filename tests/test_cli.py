@@ -377,6 +377,50 @@ class TestPipeline:
         assert (tmp_path / "pipe/results/evaluation_results.json").exists()
         # Test slice is disjoint from the training pool (no reference leak).
         assert summary["scales"]["cal"] + summary["scales"]["test"] <= 70
+        # Router-pool holdout (round-5 honest-features fix) is recorded:
+        # fit tail = 70 loaded - 10 cal - 5 test = 55 rows held out of the
+        # encoder pool, which still trains on the file's remaining rows.
+        assert summary["encoder"]["router_pool_held_out"] == 55
+        assert summary["encoder"]["train_pool"] > 0
+
+    def test_router_pool_held_out_of_encoder_pool(self):
+        # Pure-function contract: encoder_pool excludes cal/test ids,
+        # router-pool ids, and lookup rows sharing a conjunction entity
+        # with any held or router lookup row.
+        from rag_uq_tpu.cli.run_pipeline import (
+            build_router_pool, encoder_pool,
+        )
+
+        def row(i, sl="lexical", entity=None):
+            return {"id": f"qa_{i}", "question": f"q{i}",
+                    "metadata": {"slice": sl, "entity": entity or f"e{i}"}}
+
+        rows = [row(i) for i in range(20)]
+        rows[3] = row(3, "lookup", "shared-animal")
+        rows[17] = row(17, "lookup", "shared-animal")
+        rows[18] = row(18, "inverse")
+        rows[19] = row(19, "lookup", "other-animal")
+        held = rows[:5]          # cal+test window (includes the lookup @3)
+        fit = rows[8:12]
+        pool = build_router_pool(fit, rows, nq_cap=12, balance_target=1)
+        # Balancing pulled one inverse and one lookup from beyond the cap.
+        ids = {r["id"] for r in pool}
+        assert {"qa_18"} <= ids and ("qa_17" in ids or "qa_19" in ids)
+        enc = encoder_pool(rows, held, pool)
+        enc_ids = {r["id"] for r in enc}
+        assert enc_ids.isdisjoint({r["id"] for r in held})
+        assert enc_ids.isdisjoint(ids)
+        # qa_17 shares the held lookup entity -> excluded even if not in
+        # the router pool.
+        assert "qa_17" not in enc_ids
+        # Non-held, non-router lexical rows survive.
+        assert "qa_5" in enc_ids
+
+    def test_build_router_pool_no_balance_is_fit_tail(self):
+        from rag_uq_tpu.cli.run_pipeline import build_router_pool
+
+        fit = [{"id": "a"}, {"id": "b"}]
+        assert build_router_pool(fit, fit + [{"id": "c"}], 2) == fit
 
 
 class TestServe:
