@@ -33,6 +33,10 @@ ap.add_argument("--lm-checkpoint", default="models/tiny_lm/tiny_lm.msgpack")
 ap.add_argument("--router-checkpoint", default=None,
                 help="router checkpoint (default: <workdir>/router/"
                      "final_router.msgpack); e.g. the r5 recipe-v2 retrain")
+ap.add_argument("--encoder-checkpoint", default=None,
+                help="encoder checkpoint (default: <workdir>/encoder/"
+                     "encoder.msgpack); e.g. the r5 honest retrain "
+                     "<workdir>/encoder_honest/encoder.msgpack")
 ap.add_argument("--n-test", type=int, default=None,
                 help="override the run's test-split size (head of the split)")
 ap.add_argument("--mc-samples", type=int, default=8)
@@ -72,7 +76,9 @@ retriever = build_index_from_jsonl(
     bm25_persist_path=None,
     dense_persist_directory=None,
     config=Config(embedder=EmbedderConfig(
-        kind="encoder", checkpoint_path=str(WORK / "encoder/encoder.msgpack"))),
+        kind="encoder",
+        checkpoint_path=args.encoder_checkpoint
+        or str(WORK / "encoder/encoder.msgpack"))),
 )
 print(f"index rebuilt in {time.time()-t0:.1f}s", flush=True)
 
